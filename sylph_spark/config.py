@@ -1,0 +1,65 @@
+"""Pipeline configuration — the graft analog of sylph's CLI parameter set
+(/root/reference/src/cmdline.rs:57-95). Compatibility between sketches and
+queries is enforced by parameter equality, mirroring the k/c checks at
+contain.rs:608-623: stages assert their input tables carry the same config
+hash before proceeding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class SketchConfig:
+    # FracMinHash scale factor (sylph -c, cmdline.rs:59-60; default 200 for
+    # genomes). Items here have O(10²) shingles, not O(10⁶) k-mers, so the
+    # default keeps more: c=2 halves the shingle set. At 10^12-image scale
+    # raise c to shrink sketches linearly.
+    c: int = 2
+    # caption character-shingle length (sylph -k; ≤8 so a shingle packs in u64)
+    k_caption: int = 6
+    # image block grid: block size in px, quantization shift, rolling window
+    block_px: int = 8
+    q_shift: int = 4
+    k_block: int = 4
+    # MinHash/LSH (graft: replaces sylph's all-pairs loop contain.rs:266-292)
+    num_bands: int = 16
+    rows_per_band: int = 4
+    # similarity threshold on the corrected containment score (analog of
+    # --minimum-ani, constants.rs:10-11)
+    tau: float = 0.62
+    # exponent root for containment → similarity (sylph k in ANI = idx^{1/k};
+    # we keep k=4 so scores spread: 0.5 containment → 0.84 sim)
+    ani_k: float = 4.0
+    # verification stage
+    simhash_max_hamming: int = 16
+    lcs_min_len: int = 8
+    lcs_min_frac: float = 0.25
+    # λ estimation guards (constants.rs:4, cmdline.rs:94-95)
+    min_count_correct: float = 3.0
+    estimator: str = "ratio"
+    # LSH skew handling: buckets larger than this are pair-generated in
+    # chunks across tasks (salted), never dropped
+    max_band_bucket: int = 2000
+    pair_chunk: int = 256
+    seed: int = 42
+
+    @property
+    def num_hashes(self) -> int:
+        return self.num_bands * self.rows_per_band
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    def config_hash(self) -> str:
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+    @staticmethod
+    def from_json(s: str) -> "SketchConfig":
+        return SketchConfig(**json.loads(s))
+
+
+DEFAULT_CONFIG = SketchConfig()
