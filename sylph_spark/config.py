@@ -23,19 +23,20 @@ class SketchConfig:
     k_caption: int = 6
     # image block grid: block size in px, quantization shift, rolling window
     block_px: int = 8
-    q_shift: int = 4
-    k_block: int = 4
+    q_shift: int = 5
+    k_block: int = 2
+    n_grids: int = 2
     # MinHash/LSH (graft: replaces sylph's all-pairs loop contain.rs:266-292)
-    num_bands: int = 16
-    rows_per_band: int = 4
+    num_bands: int = 24
+    rows_per_band: int = 3
     # similarity threshold on the corrected containment score (analog of
     # --minimum-ani, constants.rs:10-11)
-    tau: float = 0.62
+    tau: float = 0.65
     # exponent root for containment → similarity (sylph k in ANI = idx^{1/k};
-    # we keep k=4 so scores spread: 0.5 containment → 0.84 sim)
-    ani_k: float = 4.0
+    # ani_k=1 reports raw containment as the similarity score)
+    ani_k: float = 1.0
     # verification stage
-    simhash_max_hamming: int = 16
+    simhash_max_hamming: int = 24
     lcs_min_len: int = 8
     lcs_min_frac: float = 0.25
     # λ estimation guards (constants.rs:4, cmdline.rs:94-95)

@@ -168,13 +168,15 @@ def caption_shingles(caption: str, k: int, c: int) -> np.ndarray:
     return np.unique(fracminhash_select(hashed, c))
 
 
-def image_block_bytes(gray: np.ndarray, block_px: int, q_shift: int) -> np.ndarray:
+def image_block_bytes(
+    gray: np.ndarray, block_px: int, q_shift: int, grid_offset: float = 0.0
+) -> np.ndarray:
     """Quantized difference-from-mean block bytes of a grayscale image.
 
-    Per block: d = block_mean - image_mean, quantized by >> q_shift and
-    offset to unsigned. Differences (not raw means) make the code robust to
-    global brightness scaling — the graft analog of sylph's canonical k-mer
-    normalization. Returns one uint8 per block, row-major.
+    Per block: d = block_mean - image_mean, quantized with step 2**q_shift at
+    the given grid offset. Differences (not raw means) make the code robust
+    to global brightness scaling — the graft analog of sylph's canonical
+    k-mer normalization. Returns one uint8 per block, row-major.
     """
     h, w = gray.shape
     bh, bw = h // block_px, w // block_px
@@ -183,26 +185,42 @@ def image_block_bytes(gray: np.ndarray, block_px: int, q_shift: int) -> np.ndarr
     trimmed = gray[: bh * block_px, : bw * block_px].astype(np.float64)
     blocks = trimmed.reshape(bh, block_px, bw, block_px).mean(axis=(1, 3))
     diff = blocks - trimmed.mean()
-    q = np.clip(np.round(diff / (1 << q_shift)), -7, 7).astype(np.int64) + 8
+    step = float(1 << q_shift)
+    q = np.clip(np.floor(diff / step + grid_offset), -8, 7).astype(np.int64) + 8
     return q.astype(np.uint8).ravel()
 
 
 def image_shingles(
-    gray: np.ndarray, block_px: int, q_shift: int, k_block: int, c: int
+    gray: np.ndarray,
+    block_px: int,
+    q_shift: int,
+    k_block: int,
+    c: int,
+    n_grids: int = 2,
 ) -> np.ndarray:
     """Positional rolling windows over quantized block bytes → hashed shingles.
 
-    Position is packed into the high byte so identical local textures at
+    ``n_grids`` offset quantization grids are emitted (tagged in high bits): a
+    small perturbation moves a block's value across a bin boundary in at most
+    one grid, so near-duplicate containment degrades gracefully instead of
+    cliff-dropping — the robustness analog of sylph's dense k-mer overlap.
+    Position is packed into high bits so identical local textures at
     different image locations stay distinct (images are positional media,
     unlike genomes).
     """
-    bb = image_block_bytes(gray, block_px, q_shift)
-    if bb.size < k_block:
+    out = []
+    offsets = [g / n_grids for g in range(n_grids)]
+    for gi, grid_offset in enumerate(offsets):
+        bb = image_block_bytes(gray, block_px, q_shift, grid_offset)
+        if bb.size < k_block:
+            continue
+        packed = _pack_windows_u64(bb, k_block)
+        pos = np.arange(packed.size, dtype=U64)
+        packed = packed | (pos << U64(40)) | (U64(gi) << U64(56))
+        out.append(mm_hash64_np(packed ^ SALT_IMAGE))
+    if not out:
         return np.empty(0, dtype=U64)
-    packed = _pack_windows_u64(bb, k_block)
-    pos = np.arange(packed.size, dtype=U64)
-    packed = packed | (pos << U64(40))
-    hashed = mm_hash64_np(packed ^ SALT_IMAGE)
+    hashed = np.concatenate(out)
     return np.unique(fracminhash_select(hashed, c))
 
 

@@ -1,0 +1,237 @@
+"""Single-node numpy reference implementation of the full pipeline.
+
+This is the correctness oracle (SURVEY.md §5.2): the Spark pipeline must
+reproduce these cluster assignments exactly at the same SketchConfig. It
+follows the same lifecycle as the Spark stages — sketch → corpus counts →
+MinHash/LSH candidates → corrected-containment scoring → SimHash +
+suffix-array verification → connected components — with zero Spark code.
+
+Scoring transplants sylph's get_stats chain (/root/reference/src/
+contain.rs:601-745): coverage vector = corpus-level multiplicities of the
+intersected shingles, zero-padded; λ regime switch; zero-truncation-corrected
+containment, naive fallback.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from . import codecs
+from . import kernels as K
+from .config import SketchConfig
+
+
+@dataclass
+class ItemSketch:
+    image_id: str
+    shingles: np.ndarray  # sorted unique u64
+    simhash: int
+    caption: str
+
+
+def sketch_item(
+    image_id: str, data: bytes, fmt: str, caption: str, cfg: SketchConfig
+) -> ItemSketch:
+    gray = codecs.to_gray(codecs.decode_image(data, fmt))
+    img_sh = K.image_shingles(
+        gray, cfg.block_px, cfg.q_shift, cfg.k_block, cfg.c, cfg.n_grids
+    )
+    cap_sh = K.caption_shingles(caption, cfg.k_caption, cfg.c)
+    shingles = np.union1d(img_sh, cap_sh)
+    return ItemSketch(image_id, shingles, K.simhash64(shingles), caption)
+
+
+def sketch_corpus(images: pd.DataFrame, cfg: SketchConfig) -> list[ItemSketch]:
+    return [
+        sketch_item(r.image_id, r.bytes, r.fmt, r.caption, cfg)
+        for r in images.itertuples()
+    ]
+
+
+def corpus_counts(sketches: list[ItemSketch]) -> dict[int, int]:
+    """shingle → number of items containing it (A1 hash-agg, sketch.rs:690-731)."""
+    all_sh = np.concatenate([s.shingles for s in sketches if s.shingles.size])
+    vals, cnts = np.unique(all_sh, return_counts=True)
+    return dict(zip(vals.tolist(), cnts.tolist()))
+
+
+def lsh_candidates(sketches: list[ItemSketch], cfg: SketchConfig) -> set[tuple[str, str]]:
+    """Banded MinHash → candidate id pairs (replaces all-pairs contain.rs:266-292)."""
+    seeds = K.minhash_seeds(cfg.num_hashes, cfg.seed)
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for s in sketches:
+        if s.shingles.size == 0:
+            continue
+        sig = K.minhash_signature(s.shingles, seeds)
+        bh = K.band_hashes(sig, cfg.num_bands, cfg.rows_per_band)
+        for band, h in enumerate(bh.tolist()):
+            buckets.setdefault((band, h), []).append(s.image_id)
+    pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        members = sorted(set(members))
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    return pairs
+
+
+def score_candidates(
+    sketches: list[ItemSketch],
+    pairs: set[tuple[str, str]],
+    counts: dict[int, int],
+    cfg: SketchConfig,
+) -> pd.DataFrame:
+    """Sylph-corrected containment score per candidate pair.
+
+    Containment is directional (genome-in-sample, contain.rs:655-660); we
+    score the smaller set against the larger (max containment direction) so
+    crops/subsets are caught, and report it symmetrically.
+    """
+    by_id = {s.image_id: s for s in sketches}
+    rows = []
+    for id_a, id_b in sorted(pairs):
+        a, b = by_id[id_a], by_id[id_b]
+        small, big = (a, b) if a.shingles.size <= b.shingles.size else (b, a)
+        if small.shingles.size == 0:
+            continue
+        inter = np.intersect1d(small.shingles, big.shingles, assume_unique=True)
+        covs = np.array([counts[int(s)] for s in inter], dtype=np.int64)
+        res = K.score_pair(
+            covs,
+            small.shingles.size,
+            cfg.ani_k,
+            cfg.min_count_correct,
+            cfg.estimator,
+        )
+        if res is None:
+            continue
+        rows.append(
+            {
+                "id_a": id_a,
+                "id_b": id_b,
+                "contain_count": res["contain_count"],
+                "total_kmers": res["total_kmers"],
+                "naive_sim": res["naive_ani"],
+                "adj_sim": res["final_est_ani"],
+                "adjust_status": res["adjust_status"],
+                "lambda": res["lambda"],
+                "median_cov": res["median_cov"],
+            }
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "id_a",
+            "id_b",
+            "contain_count",
+            "total_kmers",
+            "naive_sim",
+            "adj_sim",
+            "adjust_status",
+            "lambda",
+            "median_cov",
+        ],
+    )
+
+
+def verify_pairs(
+    scored: pd.DataFrame, sketches: list[ItemSketch], cfg: SketchConfig
+) -> pd.DataFrame:
+    """Threshold + SimHash hamming + suffix-array LCS confirmation."""
+    by_id = {s.image_id: s for s in sketches}
+    keep = []
+    for r in scored.itertuples():
+        if r.adj_sim < cfg.tau:
+            keep.append(False)
+            continue
+        a, b = by_id[r.id_a], by_id[r.id_b]
+        if K.hamming64(a.simhash, b.simhash) > cfg.simhash_max_hamming:
+            keep.append(False)
+            continue
+        lcs = K.longest_common_substring(a.caption, b.caption)
+        min_len = min(len(a.caption), len(b.caption))
+        thresh = min(cfg.lcs_min_len, min_len) if min_len else 0
+        frac_ok = min_len == 0 or lcs >= cfg.lcs_min_frac * min_len
+        keep.append(lcs >= thresh and frac_ok)
+    out = scored[pd.Series(keep, index=scored.index)].copy()
+    return out
+
+
+def connected_components(ids: list[str], edges: pd.DataFrame) -> pd.DataFrame:
+    """Union-find → (image_id, cluster_id=min member id)."""
+    parent = {i: i for i in ids}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.itertuples():
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return pd.DataFrame(
+        {"image_id": ids, "cluster_id": [find(i) for i in ids]}
+    )
+
+
+def dedup_survivors(clusters: pd.DataFrame) -> pd.DataFrame:
+    """Representative per cluster = min image_id (deterministic winner; the
+    analog of the winner-table argmax contain.rs:410-459 with id as score)."""
+    return (
+        clusters.groupby("cluster_id", as_index=False)
+        .agg(image_id=("image_id", "min"))
+        .loc[:, ["image_id", "cluster_id"]]
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+
+
+@dataclass
+class OracleResult:
+    sketches: list[ItemSketch]
+    counts: dict[int, int]
+    candidates: set[tuple[str, str]]
+    scored: pd.DataFrame
+    verified: pd.DataFrame
+    clusters: pd.DataFrame
+    survivors: pd.DataFrame
+
+
+def run_oracle(images: pd.DataFrame, cfg: SketchConfig | None = None) -> OracleResult:
+    cfg = cfg or SketchConfig()
+    sketches = sketch_corpus(images, cfg)
+    counts = corpus_counts(sketches)
+    candidates = lsh_candidates(sketches, cfg)
+    scored = score_candidates(sketches, candidates, counts, cfg)
+    verified = verify_pairs(scored, sketches, cfg)
+    clusters = connected_components(
+        images["image_id"].tolist(), verified[["id_a", "id_b"]]
+    )
+    survivors = dedup_survivors(clusters)
+    return OracleResult(
+        sketches, counts, candidates, scored, verified, clusters, survivors
+    )
+
+
+def pair_recall(verified: pd.DataFrame, truth: pd.DataFrame) -> float:
+    """Fraction of ground-truth dup pairs connected in the verified cluster
+    graph (pairs are 'recalled' if both ends share a component)."""
+    ids = sorted(set(truth["id_a"]) | set(truth["id_b"]) | set(verified["id_a"]) | set(verified["id_b"]))
+    comp = connected_components(ids, verified[["id_a", "id_b"]])
+    label = dict(zip(comp["image_id"], comp["cluster_id"]))
+    hit = sum(
+        1
+        for r in truth.itertuples()
+        if label.get(r.id_a) == label.get(r.id_b)
+    )
+    return hit / len(truth) if len(truth) else 1.0
