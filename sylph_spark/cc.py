@@ -1,0 +1,81 @@
+"""Distributed connected components for the clustering stage.
+
+Min-label propagation with pointer jumping, checkpointed every iteration to
+cut lineage (SURVEY.md §4 custom work #3 — the reference has no analog; its
+"clusters" are implicit in the winner table contain.rs:410-459).
+
+Each iteration:
+  1. every node takes the min label over itself and its neighbors;
+  2. pointer jumping: label(u) <- label(label(u)) (halves chain depth, so
+     convergence is O(log diameter), not O(diameter));
+  3. ``localCheckpoint`` truncates the plan; convergence is an exact
+     count of changed labels == 0.
+
+Inputs/outputs are plain DataFrames, so the same routine serves any edge set
+(dedup clusters here, but any graph at 100 TB scale with the same shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "image_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Returns (node_col, cluster_id) where cluster_id = min node id in the
+    component. Deterministic; independent of input partitioning."""
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("u"), F.col(node_col).alias("lbl")
+    ).localCheckpoint()
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("u", "v2"), sym["v"] == F.col("v2"))
+            .select(F.col("u"), F.col("lbl"))
+        )
+        new_labels = (
+            labels.select("u", "lbl")
+            .union(nbr)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jumping: lbl <- lbl(lbl)
+        jumped = (
+            new_labels.alias("a")
+            .join(
+                new_labels.select(
+                    F.col("u").alias("lu"), F.col("lbl").alias("llbl")
+                ).alias("b"),
+                F.col("a.lbl") == F.col("lu"),
+                "left",
+            )
+            .select(
+                F.col("a.u").alias("u"),
+                F.coalesce(F.col("llbl"), F.col("a.lbl")).alias("lbl"),
+            )
+        ).localCheckpoint()
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.u") == F.col("o.u"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias(node_col), F.col("lbl").alias("cluster_id")
+    )

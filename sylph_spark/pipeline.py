@@ -1,0 +1,288 @@
+"""The staged Spark dedup pipeline (SURVEY.md §3 graft lifecycle).
+
+Stages (each commits a checkpointed table via StageCatalog; a killed job
+resumes at the first stage without a committed manifest for the current
+config hash):
+
+  1. sketches       images → per-item shingle sets + SimHash  (sketch.rs:276-475 analog)
+  2. shingle_counts corpus-wide shingle multiplicities        (A1, sketch.rs:690-731)
+  3. candidates     MinHash/LSH banding → candidate pairs     (replaces all-pairs contain.rs:266-292)
+  4. scored         corrected-containment scoring             (J1+E1/E6/E7, contain.rs:601-745)
+  5. verified       tau + SimHash hamming + suffix-array LCS  (north-rule verification)
+  6. clusters       iterative connected components
+  7. survivors      one representative per cluster            (winner argmax analog, contain.rs:410-459)
+
+Scale design notes (for the 10^12-row cluster, tested at local[*]):
+- joins on (image_id, shingle) / (band, band_hash) are plain shuffle hash
+  joins; AQE + skew-join splitting enabled in session.py;
+- LSH buckets are pair-generated in CHUNKS keyed (band, hash, ci, cj) so a
+  single hot bucket fans out across ~(size/chunk)² tasks instead of one —
+  the salted-key skew mitigation required by the north rule;
+- shingle_counts is a map-side-combined hash aggregate, broadcast-joined
+  into scoring when small enough (Spark decides via AQE);
+- every stage is a materialized columnar table: column pruning means later
+  stages never reread ``bytes``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import udfs
+from .cc import connected_components
+from .config import SketchConfig
+from .io.catalog import StageCatalog
+
+STAGES = [
+    "sketches",
+    "shingle_counts",
+    "candidates",
+    "scored",
+    "verified",
+    "clusters",
+    "survivors",
+]
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, cfg: SketchConfig, workdir: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.catalog = StageCatalog(spark, workdir)
+        self.h = cfg.config_hash()
+
+    # -- stage bodies ------------------------------------------------------
+
+    def _stage_sketches(self, images: DataFrame) -> DataFrame:
+        return images.select("image_id", "bytes", "fmt", "caption").mapInPandas(
+            udfs.make_sketch_fn(self.cfg), schema=udfs.SKETCH_SCHEMA
+        )
+
+    def _stage_shingle_counts(self, sketches: DataFrame) -> DataFrame:
+        return (
+            sketches.select(F.explode("shingles").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).cast("int").alias("cnt"))
+        )
+
+    def _stage_candidates(self, sketches: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        bands = sketches.select("image_id", "shingles").mapInPandas(
+            udfs.make_band_fn(cfg), schema=udfs.BAND_SCHEMA
+        )
+        w_rank = (
+            "row_number() over (partition by band, band_hash order by image_id) - 1"
+        )
+        ranked = (
+            bands.withColumn("r", F.expr(w_rank))
+            .withColumn(
+                "bsize",
+                F.expr("count(*) over (partition by band, band_hash)"),
+            )
+            .filter(F.col("bsize") >= 2)
+            .withColumn("chunk", (F.col("r") / cfg.pair_chunk).cast("int"))
+            .withColumn(
+                "nchunks", F.ceil(F.col("bsize") / cfg.pair_chunk).cast("int")
+            )
+        )
+        # chunked pair generation: row in chunk c serves as the i-side for
+        # tasks (c, j>=c) and as the j-side for tasks (i<=c, c); join on the
+        # task key spreads a hot bucket across ~(bsize/chunk)² tasks.
+        left = ranked.select(
+            "band",
+            "band_hash",
+            F.col("image_id").alias("id_i"),
+            F.col("r").alias("r_i"),
+            F.col("chunk").alias("ci"),
+            F.explode(F.sequence(F.col("chunk"), F.col("nchunks") - 1)).alias("cj"),
+        )
+        right = ranked.select(
+            "band",
+            "band_hash",
+            F.col("image_id").alias("id_j"),
+            F.col("r").alias("r_j"),
+            F.col("chunk").alias("cj"),
+            F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("ci"),
+        )
+        pairs = (
+            left.join(right, ["band", "band_hash", "ci", "cj"])
+            .filter(F.col("r_i") < F.col("r_j"))
+            .select(
+                F.least("id_i", "id_j").alias("id_a"),
+                F.greatest("id_i", "id_j").alias("id_b"),
+            )
+            .distinct()
+        )
+        return pairs
+
+    def _stage_scored(
+        self, candidates: DataFrame, sketches: DataFrame, counts: DataFrame
+    ) -> DataFrame:
+        prof = sketches.select("image_id", "n_shingles")
+        cand = (
+            candidates.join(
+                prof.select(
+                    F.col("image_id").alias("id_a"), F.col("n_shingles").alias("n_a")
+                ),
+                "id_a",
+            )
+            .join(
+                prof.select(
+                    F.col("image_id").alias("id_b"), F.col("n_shingles").alias("n_b")
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "small_id",
+                F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a")).otherwise(
+                    F.col("id_b")
+                ),
+            )
+            .withColumn(
+                "big_id",
+                F.when(F.col("n_a") <= F.col("n_b"), F.col("id_b")).otherwise(
+                    F.col("id_a")
+                ),
+            )
+            .withColumn("total_kmers", F.least("n_a", "n_b"))
+            .select("id_a", "id_b", "small_id", "big_id", "total_kmers")
+        )
+        tall = sketches.select(
+            "image_id", F.explode("shingles").alias("shingle")
+        )
+        tall_b = tall.select(
+            F.col("image_id").alias("b_image_id"), F.col("shingle").alias("b_shingle")
+        )
+        inter = (
+            cand.join(tall, cand["small_id"] == tall["image_id"])
+            .select("id_a", "id_b", "big_id", "total_kmers", "shingle")
+            .join(
+                tall_b,
+                (F.col("big_id") == F.col("b_image_id"))
+                & (F.col("shingle") == F.col("b_shingle")),
+                "inner",
+            )
+            .select("id_a", "id_b", "total_kmers", "shingle")
+        )
+        with_counts = inter.join(counts, "shingle").select(
+            "id_a", "id_b", "total_kmers", "cnt"
+        )
+        return with_counts.groupBy("id_a", "id_b").applyInPandas(
+            udfs.make_score_fn(self.cfg), schema=udfs.SCORE_SCHEMA
+        )
+
+    def _stage_verified(self, scored: DataFrame, sketches: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        prof = sketches.select("image_id", "simhash", "caption")
+        lcs_udf = F.pandas_udf(udfs.make_lcs_fn(), T.LongType())
+        df = (
+            scored.filter(F.col("adj_sim") >= cfg.tau)
+            .join(
+                prof.select(
+                    F.col("image_id").alias("id_a"),
+                    F.col("simhash").alias("sh_a"),
+                    F.col("caption").alias("cap_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                prof.select(
+                    F.col("image_id").alias("id_b"),
+                    F.col("simhash").alias("sh_b"),
+                    F.col("caption").alias("cap_b"),
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+            )
+            .filter(F.col("hamming") <= cfg.simhash_max_hamming)
+            .withColumn("lcs", lcs_udf(F.col("cap_a"), F.col("cap_b")))
+            .withColumn("min_len", F.least(F.length("cap_a"), F.length("cap_b")))
+            .filter(
+                (F.col("min_len") == 0)
+                | (
+                    (F.col("lcs") >= F.least(F.lit(cfg.lcs_min_len), F.col("min_len")))
+                    & (F.col("lcs") >= cfg.lcs_min_frac * F.col("min_len"))
+                )
+            )
+        )
+        return df.select(
+            "id_a",
+            "id_b",
+            "contain_count",
+            "total_kmers",
+            "naive_sim",
+            "adj_sim",
+            "adjust_status",
+            "lambda",
+            "median_cov",
+            "hamming",
+            "lcs",
+        )
+
+    def _stage_clusters(self, sketches: DataFrame, verified: DataFrame) -> DataFrame:
+        nodes = sketches.select("image_id")
+        return connected_components(nodes, verified.select("id_a", "id_b"))
+
+    def _stage_survivors(self, clusters: DataFrame) -> DataFrame:
+        return (
+            clusters.groupBy("cluster_id")
+            .agg(F.min("image_id").alias("image_id"))
+            .select("image_id", "cluster_id")
+        )
+
+    # -- orchestration -----------------------------------------------------
+
+    def run(self, images: DataFrame, force: bool = False) -> dict[str, DataFrame]:
+        """Run all stages, skipping any whose committed manifest matches the
+        current config hash (checkpoint/resume, north rule)."""
+        cat, h = self.catalog, self.h
+
+        def ensure(name: str, builder) -> DataFrame:
+            if force or not cat.has_valid(name, h):
+                cat.write(builder(), name, h)
+            return cat.read(name)
+
+        sketches = ensure("sketches", lambda: self._stage_sketches(images))
+        counts = ensure(
+            "shingle_counts", lambda: self._stage_shingle_counts(sketches)
+        )
+        candidates = ensure("candidates", lambda: self._stage_candidates(sketches))
+        scored = ensure(
+            "scored", lambda: self._stage_scored(candidates, sketches, counts)
+        )
+        verified = ensure("verified", lambda: self._stage_verified(scored, sketches))
+        clusters = ensure(
+            "clusters", lambda: self._stage_clusters(sketches, verified)
+        )
+        survivors = ensure("survivors", lambda: self._stage_survivors(clusters))
+        return {
+            "sketches": sketches,
+            "shingle_counts": counts,
+            "candidates": candidates,
+            "scored": scored,
+            "verified": verified,
+            "clusters": clusters,
+            "survivors": survivors,
+        }
+
+
+def images_df_from_pandas(spark: SparkSession, images: pd.DataFrame) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("caption", T.StringType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(images, schema=schema)

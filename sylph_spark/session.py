@@ -1,0 +1,42 @@
+"""SparkSession factory with the scale-oriented defaults this engine assumes.
+
+AQE (+skew-join splitting) replaces sylph's hand-built memory gating and
+two-level thread scheduling (/root/reference/src/sketch.rs:27-51,
+contain.rs:240-256); Arrow batching is the analog of its AVX2 batch kernels
+(avx2_seeding.rs:33-148).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(
+    app_name: str = "sylph_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SYLPH_SPARK_MASTER", "local[*]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SYLPH_SHUFFLE_PARTITIONS", "32")
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SYLPH_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,158 @@
+"""End-to-end Spark pipeline tests: cluster assignments must match the
+single-node oracle EXACTLY at the same SketchConfig (SURVEY.md §5.2), plus
+checkpoint/resume path-equivalence (mirroring the reference's
+path-equivalence tests, /root/reference/tests/integration_test.rs:246-295).
+"""
+
+import numpy as np
+import pytest
+
+from sylph_spark import fixtures, oracle
+from sylph_spark.config import SketchConfig
+from sylph_spark.pipeline import DedupPipeline, images_df_from_pandas
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return fixtures.generate_corpus(n_base=120, seed=42)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    images, _ = corpus
+    return oracle.run_oracle(images, SketchConfig())
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, corpus, tmp_path_factory):
+    images, _ = corpus
+    workdir = str(tmp_path_factory.mktemp("pipe"))
+    pipe = DedupPipeline(spark, SketchConfig(), workdir)
+    out = pipe.run(images_df_from_pandas(spark, images))
+    return pipe, out, workdir
+
+
+class TestPipelineVsOracle:
+    def test_sketches_match(self, spark_result, oracle_result):
+        _, out, _ = spark_result
+        got = {
+            r["image_id"]: (sorted(r["shingles"]), r["simhash"])
+            for r in out["sketches"].collect()
+        }
+        import sylph_spark.kernels as K
+
+        for s in oracle_result.sketches:
+            exp_sh = K.u64_to_i64(s.shingles).tolist()
+            exp_sim = s.simhash - (1 << 64) if s.simhash >= 1 << 63 else s.simhash
+            assert got[s.image_id] == (sorted(exp_sh), exp_sim)
+
+    def test_shingle_counts_match(self, spark_result, oracle_result):
+        _, out, _ = spark_result
+        import sylph_spark.kernels as K
+
+        got = {r["shingle"]: r["cnt"] for r in out["shingle_counts"].collect()}
+        exp = {
+            int(K.u64_to_i64(np.array([s], dtype=np.uint64))[0]): c
+            for s, c in oracle_result.counts.items()
+        }
+        assert got == exp
+
+    def test_candidates_superset_of_verified_truth(self, spark_result, oracle_result):
+        _, out, _ = spark_result
+        got = {(r["id_a"], r["id_b"]) for r in out["candidates"].collect()}
+        assert got == oracle_result.candidates
+
+    def test_scored_match(self, spark_result, oracle_result):
+        _, out, _ = spark_result
+        got = {
+            (r["id_a"], r["id_b"]): (
+                r["contain_count"],
+                r["total_kmers"],
+                r["naive_sim"],
+                r["adj_sim"],
+                r["adjust_status"],
+            )
+            for r in out["scored"].collect()
+        }
+        exp = {
+            (r.id_a, r.id_b): (
+                r.contain_count,
+                r.total_kmers,
+                r.naive_sim,
+                r.adj_sim,
+                r.adjust_status,
+            )
+            for r in oracle_result.scored.itertuples()
+        }
+        assert set(got) == set(exp)
+        for k in exp:
+            assert got[k][0] == exp[k][0]
+            assert got[k][1] == exp[k][1]
+            assert got[k][2] == pytest.approx(exp[k][2])
+            assert got[k][3] == pytest.approx(exp[k][3])
+            assert got[k][4] == exp[k][4]
+
+    def test_verified_match(self, spark_result, oracle_result):
+        _, out, _ = spark_result
+        got = {(r["id_a"], r["id_b"]) for r in out["verified"].collect()}
+        exp = {(r.id_a, r.id_b) for r in oracle_result.verified.itertuples()}
+        assert got == exp
+
+    def test_clusters_match_exactly(self, spark_result, oracle_result):
+        _, out, _ = spark_result
+        got = {(r["image_id"], r["cluster_id"]) for r in out["clusters"].collect()}
+        exp = set(
+            zip(oracle_result.clusters["image_id"], oracle_result.clusters["cluster_id"])
+        )
+        assert got == exp
+
+    def test_survivors_match(self, spark_result, oracle_result):
+        _, out, _ = spark_result
+        got = {(r["image_id"], r["cluster_id"]) for r in out["survivors"].collect()}
+        exp = set(
+            zip(
+                oracle_result.survivors["image_id"],
+                oracle_result.survivors["cluster_id"],
+            )
+        )
+        assert got == exp
+
+    def test_recall_vs_truth(self, spark_result, corpus):
+        _, out, _ = spark_result
+        _, truth = corpus
+        import pandas as pd
+
+        ver = out["verified"].select("id_a", "id_b").toPandas()
+        rec = oracle.pair_recall(ver, truth)
+        assert rec >= 0.99
+
+
+class TestResume:
+    def test_resume_skips_completed_stages(self, spark, spark_result, corpus):
+        """Second run with same config reuses every committed stage and
+        produces identical output (path-equivalence: resumed ≡ fresh)."""
+        images, _ = corpus
+        pipe, out1, workdir = spark_result
+        before = {m["stage"]: m for m in pipe.catalog.metrics() if m["metric"] == "rows"}
+        pipe2 = DedupPipeline(spark, SketchConfig(), workdir)
+        out2 = pipe2.run(images_df_from_pandas(spark, images))
+        c1 = {(r["image_id"], r["cluster_id"]) for r in out1["clusters"].collect()}
+        c2 = {(r["image_id"], r["cluster_id"]) for r in out2["clusters"].collect()}
+        assert c1 == c2
+        # no new write metrics → stages were skipped
+        after = [m for m in pipe2.catalog.metrics() if m["metric"] == "rows"]
+        assert len(after) == len(before)
+
+    def test_config_change_invalidates(self, spark, spark_result, corpus):
+        images, _ = corpus
+        _, _, workdir = spark_result
+        pipe3 = DedupPipeline(spark, SketchConfig(tau=0.7), workdir)
+        assert not pipe3.catalog.has_valid("sketches", pipe3.h)
+
+    def test_manifests_and_lineage_exist(self, spark_result):
+        pipe, _, workdir = spark_result
+        for stage in ["sketches", "clusters", "survivors"]:
+            m = pipe.catalog.manifest(stage)
+            assert m is not None and m.rows > 0
+            lin = pipe.catalog.lineage(stage)
+            assert lin.count() == m.partitions
