@@ -273,6 +273,31 @@ class DedupPipeline:
         }
 
 
+def run_volatile(
+    spark: SparkSession, images: DataFrame, cfg: SketchConfig
+) -> dict[str, DataFrame]:
+    """Run all stages in-memory (localCheckpoint between stages, no catalog).
+    For tests/smoke runs; production runs use DedupPipeline.run (resumable)."""
+    p = DedupPipeline.__new__(DedupPipeline)
+    p.spark, p.cfg = spark, cfg
+    sketches = p._stage_sketches(images).localCheckpoint()
+    counts = p._stage_shingle_counts(sketches).localCheckpoint()
+    candidates = p._stage_candidates(sketches).localCheckpoint()
+    scored = p._stage_scored(candidates, sketches, counts).localCheckpoint()
+    verified = p._stage_verified(scored, sketches).localCheckpoint()
+    clusters = p._stage_clusters(sketches, verified)
+    survivors = p._stage_survivors(clusters)
+    return {
+        "sketches": sketches,
+        "shingle_counts": counts,
+        "candidates": candidates,
+        "scored": scored,
+        "verified": verified,
+        "clusters": clusters,
+        "survivors": survivors,
+    }
+
+
 def images_df_from_pandas(spark: SparkSession, images: pd.DataFrame) -> DataFrame:
     schema = T.StructType(
         [
