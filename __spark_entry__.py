@@ -201,6 +201,21 @@ SHARED_SQL: dict[str, str] = {
                lang
         FROM documents
     """,
+    # E10 k-mer identity estimate (contain.rs:901-951):
+    # eps = Σcnt_{>1}/(Σcnt_{>1} + #cnt_{=1} + 0.1); identity = eps^{1/k}
+    "e10_kmer_identity": """
+        WITH hist AS (
+            SELECT l_returnflag AS grp, l_partkey, COUNT(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_partkey
+        )
+        SELECT grp,
+               ROUND(POWER(
+                   SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 /
+                   (SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                    + SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) + 0.1),
+                   1.0 / 7.0), 6) AS identity_est
+        FROM hist GROUP BY grp
+    """,
 }
 
 
@@ -350,7 +365,64 @@ _TXT_QUALITY_DUCK = """
     FROM documents
 """
 
+# LSH-bucketed ANN (scale path for similarity search): bucket by the sign
+# pattern of the first 8 dimensions (a fixed hyperplane LSH), then exact
+# top-1 within bucket — the brute-force emb_knn is the baseline.
+_EMB_ANN_SPARK = """
+    SELECT vec_id, bucket, nn_id FROM (
+        SELECT a.vec_id, a.bucket, b.vec_id AS nn_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   AGGREGATE(ZIP_WITH(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) DESC, b.vec_id) AS rnk
+        FROM (SELECT vec_id, embedding,
+                     CONCAT(CAST(CASE WHEN embedding[0] > 0 THEN 1 ELSE 0 END AS STRING),
+                            CAST(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END AS STRING),
+                            CAST(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END AS STRING),
+                            CAST(CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END AS STRING),
+                            CAST(CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS STRING),
+                            CAST(CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END AS STRING)) AS bucket
+              FROM embeddings) a
+        JOIN (SELECT vec_id, embedding,
+                     CONCAT(CAST(CASE WHEN embedding[0] > 0 THEN 1 ELSE 0 END AS STRING),
+                            CAST(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END AS STRING),
+                            CAST(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END AS STRING),
+                            CAST(CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END AS STRING),
+                            CAST(CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS STRING),
+                            CAST(CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END AS STRING)) AS bucket
+              FROM embeddings) b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 50
+    ) r WHERE rnk = 1
+"""
+
+_EMB_ANN_DUCK = """
+    SELECT vec_id, bucket, nn_id FROM (
+        SELECT a.vec_id, a.bucket, b.vec_id AS nn_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   LIST_DOT_PRODUCT(a.embedding, b.embedding) DESC, b.vec_id) AS rnk
+        FROM (SELECT vec_id, embedding,
+                     CONCAT(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END,
+                            CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END,
+                            CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END,
+                            CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END,
+                            CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END,
+                            CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END) AS bucket
+              FROM embeddings) a
+        JOIN (SELECT vec_id, embedding,
+                     CONCAT(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END,
+                            CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END,
+                            CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END,
+                            CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END,
+                            CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END,
+                            CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END) AS bucket
+              FROM embeddings) b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 50
+    ) r WHERE rnk = 1
+"""
+
 DIALECT_SQL: dict[str, tuple[str, str]] = {
+    "emb_ann_bucketed": (_EMB_ANN_SPARK, _EMB_ANN_DUCK),
     "dd_minhash_sig": (_minhash_sql(_DOCS_SHINGLE_SPARK), _minhash_sql(_DOCS_SHINGLE_DUCK)),
     "dd_simhash": (_simhash_sql(_DOCS_SHINGLE_SPARK), _simhash_sql(_DOCS_SHINGLE_DUCK)),
     "dd_ngram_jaccard": (_jaccard_sql(_DOCS_SHINGLE_SPARK), _jaccard_sql(_DOCS_SHINGLE_DUCK)),
@@ -445,7 +517,23 @@ def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["survivors"]
 
 
+def _q_a3_approx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 approximate dedup-gated counting (sketch.rs:733-769: scalable
+    cuckoo filter, fpr 1e-4): HLL++ approx_count_distinct is the Spark
+    analog — memory-bounded membership at 10^12 scale. Rows-only check
+    (sketch-based estimates are engine-specific by design)."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_partkey AS partkey,
+               APPROX_COUNT_DISTINCT(l_suppkey, 0.01) AS approx_dedup_cnt
+        FROM lineitem GROUP BY l_partkey
+        """
+    )
+
+
 SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "a3_approx_dedup": _q_a3_approx_dedup,
     "a8_tail_cut": _q_a8_tail_cut,
     "e9_bootstrap_ci": _q_e9_bootstrap,
     "dedup_clusters": _q_dedup_clusters,

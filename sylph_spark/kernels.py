@@ -458,6 +458,58 @@ def mle_zip(full_covs: np.ndarray, k: float) -> float | None:
     return curr if curr >= 0.0 and not math.isnan(curr) else None
 
 
+def _ratio_formula(val: float, r: float, lam: float) -> float:
+    """inference.rs:12-19 (gamma via math.lgamma instead of statrs)."""
+    if r < 100.0:
+        lg = math.exp(math.lgamma(r + val + 1.0) - math.lgamma(r + val))
+        return lg / (val + 1.0) * lam / (r + lam)
+    return (r + val + 1.0) / (val + 1.0) * lam / (r + lam)
+
+
+def binary_search_lambda(full_covs: np.ndarray) -> float | None:
+    """Negative-binomial grid search matching the 2s/1s ratio
+    (inference.rs:29-102, hidden --nb flag): 10 000-step scan of λ in
+    [max(0.003, m−2), m+5] minimizing |ratio_formula(1, r(λ), λ) − twos/ones|.
+    """
+    full_covs = np.asarray(full_covs, dtype=np.int64)
+    if full_covs.size == 0:
+        return None
+    m = mean(full_covs)
+    v = var(full_covs)
+    ones = int((full_covs == 1).sum())
+    twos = int((full_covs == 2).sum())
+    if ones == 0:
+        return None
+    ratio_est = twos / ones
+    left = max(0.003, m - 2.0)
+    right = m + 5.0
+    best = None
+    best_val = 10000.0
+    tests = left + (right - left) / 10000.0 * np.arange(10000)
+    # r_from_moments_lambda (inference.rs:6-10)
+    rs = tests / (v - 1.0 + tests + m)
+    for test, r in zip(tests.tolist(), rs.tolist()):
+        if r < 0.0:
+            continue
+        p = _ratio_formula(1.0, r, test) - ratio_est
+        if abs(p) < best_val:
+            best_val = abs(p)
+            best = test
+    return best
+
+
+def kmer_identity(counts: np.ndarray, k: float) -> float | None:
+    """E10 k-mer identity / unknown estimate (contain.rs:901-951):
+    eps = Σcnt_{>1} / (Σcnt_{>1} + #cnt_{=1} + 0.1), identity = eps^{1/k}."""
+    counts = np.asarray(counts, dtype=np.int64)
+    num_gt1 = int(counts[counts > 1].sum())
+    num_eq1 = int((counts == 1).sum())
+    eps = num_gt1 / (num_gt1 + num_eq1 + 0.1)
+    if eps == 0.0:
+        return None
+    return eps ** (1.0 / k)
+
+
 # ---------------------------------------------------------------------------
 # Similarity from λ (contain.rs:817-847) + regime switch (contain.rs:692-713)
 # ---------------------------------------------------------------------------
@@ -501,6 +553,8 @@ def adjust_status(
         lam = mme_lambda(full_covs)
     elif estimator == "mle":
         lam = mle_zip(full_covs, k)
+    elif estimator == "nb":
+        lam = binary_search_lambda(full_covs)
     else:
         raise ValueError(f"unknown estimator {estimator}")
     if lam is None:

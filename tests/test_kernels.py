@@ -233,6 +233,24 @@ class TestEstimators:
         assert res["final_est_ani"] == pytest.approx(adj ** (1 / 31.0))
         assert res["naive_ani"] == pytest.approx(0.5 ** (1 / 31.0))
 
+    def test_binary_search_lambda_in_scan_range(self):
+        # the reference NB search scans λ ∈ [max(0.003, m−2), m+5]
+        # (inference.rs:53-55) — assert the structural contract, not
+        # statistical accuracy (the reference estimator is experimental)
+        rng = np.random.default_rng(11)
+        covs = rng.poisson(1.5, size=3000)
+        m = covs.mean()
+        lam = K.binary_search_lambda(covs)
+        assert lam is not None and max(0.003, m - 2) <= lam <= m + 5
+        assert K.binary_search_lambda(np.array([2, 2, 2])) is None  # no ones
+
+    def test_kmer_identity_hand_computed(self):
+        # counts: 30 ones, 10 twos → eps = 20/(20+30+0.1)
+        counts = np.array([1] * 30 + [2] * 10)
+        eps = 20 / (20 + 30 + 0.1)
+        assert K.kmer_identity(counts, 7.0) == pytest.approx(eps ** (1 / 7.0))
+        assert K.kmer_identity(np.array([1, 1, 1]), 7.0) is None
+
     def test_bootstrap_deterministic(self):
         covs = np.array([0] * 50 + [1] * 60 + [2] * 30 + [3] * 10)
         r1 = K.bootstrap_interval(covs, 31.0)
