@@ -210,13 +210,14 @@ def image_shingles(
     """
     out = []
     offsets = [g / n_grids for g in range(n_grids)]
+    bw = U64((gray.shape[1] // block_px) & 0x3F)  # grid width tag (mod 64)
     for gi, grid_offset in enumerate(offsets):
         bb = image_block_bytes(gray, block_px, q_shift, grid_offset)
         if bb.size < k_block:
             continue
         packed = _pack_windows_u64(bb, k_block)
         pos = np.arange(packed.size, dtype=U64)
-        packed = packed | (pos << U64(40)) | (U64(gi) << U64(56))
+        packed = packed | (pos << U64(40)) | (U64(gi) << U64(56)) | (bw << U64(58))
         out.append(mm_hash64_np(packed ^ SALT_IMAGE))
     if not out:
         return np.empty(0, dtype=U64)

@@ -58,8 +58,17 @@ class DedupPipeline:
     # -- stage bodies ------------------------------------------------------
 
     def _stage_sketches(self, images: DataFrame) -> DataFrame:
-        return images.select("image_id", "bytes", "fmt", "caption").mapInPandas(
-            udfs.make_sketch_fn(self.cfg), schema=udfs.SKETCH_SCHEMA
+        # explicit repartition: input tables often arrive as few large files;
+        # decode+shingle is CPU-bound, so spread it across all cores
+        # (north-rule explicit repartitioning; sized to cluster parallelism)
+        n_part = max(
+            self.spark.sparkContext.defaultParallelism * 2,
+            images.rdd.getNumPartitions(),
+        )
+        return (
+            images.select("image_id", "bytes", "fmt", "caption")
+            .repartition(n_part, "image_id")
+            .mapInPandas(udfs.make_sketch_fn(self.cfg), schema=udfs.SKETCH_SCHEMA)
         )
 
     def _stage_shingle_counts(self, sketches: DataFrame) -> DataFrame:
@@ -171,8 +180,19 @@ class DedupPipeline:
         with_counts = inter.join(counts, "shingle").select(
             "id_a", "id_b", "total_kmers", "cnt"
         )
-        return with_counts.groupBy("id_a", "id_b").applyInPandas(
-            udfs.make_score_fn(self.cfg), schema=udfs.SCORE_SCHEMA
+        # compress each pair's coverage vector to a (cnt → n) histogram
+        # JVM-side, then score whole Arrow batches of pairs in one Python
+        # call — per-group applyInPandas pays ~ms/group, this pays ~µs/pair
+        hist = (
+            with_counts.groupBy("id_a", "id_b", "total_kmers", "cnt")
+            .agg(F.count(F.lit(1)).cast("int").alias("n"))
+            .groupBy("id_a", "id_b", "total_kmers")
+            .agg(
+                F.collect_list(F.struct("cnt", "n")).alias("hist")
+            )
+        )
+        return hist.mapInPandas(
+            udfs.make_score_hist_fn(self.cfg), schema=udfs.SCORE_SCHEMA
         )
 
     def _stage_verified(self, scored: DataFrame, sketches: DataFrame) -> DataFrame:

@@ -144,6 +144,71 @@ def make_score_fn(cfg: SketchConfig):
     return fn
 
 
+def make_score_hist_fn(cfg: SketchConfig):
+    """mapInPandas over pair rows (id_a, id_b, total_kmers, hist) where hist
+    is a list of {cnt, n} structs — the Arrow-batched fast path of the
+    E1/E6/E7 scoring chain (one Python call per batch, not per pair)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                h = r.hist
+                cnts = np.array([e["cnt"] for e in h], dtype=np.int64)
+                ns = np.array([e["n"] for e in h], dtype=np.int64)
+                covs = np.repeat(cnts, ns)
+                res = K.score_pair(
+                    covs,
+                    int(r.total_kmers),
+                    cfg.ani_k,
+                    cfg.min_count_correct,
+                    cfg.estimator,
+                )
+                if res is None:
+                    continue
+                out.append(
+                    {
+                        "id_a": r.id_a,
+                        "id_b": r.id_b,
+                        "contain_count": res["contain_count"],
+                        "total_kmers": res["total_kmers"],
+                        "naive_sim": res["naive_ani"],
+                        "adj_sim": res["final_est_ani"],
+                        "adjust_status": res["adjust_status"],
+                        "lambda": res["lambda"]
+                        if res["lambda"] is not None
+                        else float("nan"),
+                        "median_cov": res["median_cov"],
+                    }
+                )
+            df = pd.DataFrame(
+                out,
+                columns=[
+                    "id_a",
+                    "id_b",
+                    "contain_count",
+                    "total_kmers",
+                    "naive_sim",
+                    "adj_sim",
+                    "adjust_status",
+                    "lambda",
+                    "median_cov",
+                ],
+            )
+            yield df.astype(
+                {
+                    "contain_count": "int32",
+                    "total_kmers": "int32",
+                    "naive_sim": "float64",
+                    "adj_sim": "float64",
+                    "lambda": "float64",
+                    "median_cov": "float64",
+                }
+            )
+
+    return fn
+
+
 def make_lcs_fn():
     """pandas_udf batch: (caption_a, caption_b) → longest common substring
     length via suffix array + Kasai (kernels.longest_common_substring)."""
