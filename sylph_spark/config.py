@@ -27,7 +27,7 @@ class SketchConfig:
     k_block: int = 2
     n_grids: int = 2
     # MinHash/LSH (graft: replaces sylph's all-pairs loop contain.rs:266-292)
-    num_bands: int = 24
+    num_bands: int = 40
     rows_per_band: int = 3
     # similarity threshold on the corrected containment score (analog of
     # --minimum-ani, constants.rs:10-11)
@@ -42,6 +42,13 @@ class SketchConfig:
     # λ estimation guards (constants.rs:4, cmdline.rs:94-95)
     min_count_correct: float = 3.0
     estimator: str = "ratio"
+    # stop-shingle masking for banding (corpus analog of sylph's repeat
+    # masking, sketch.rs:590-600): shingles with document frequency above
+    # max(band_max_df_min, band_max_df_frac·n_items) are excluded from
+    # MinHash banding (but still scored) — boilerplate/template shingles
+    # otherwise create dense LSH buckets and quadratic candidate growth
+    band_max_df_min: int = 32
+    band_max_df_frac: float = 0.02
     # LSH skew handling: buckets larger than this are pair-generated in
     # chunks across tasks (salted), never dropped
     max_band_bucket: int = 2000

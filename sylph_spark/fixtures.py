@@ -24,6 +24,15 @@ _NOUN = "cat dog bird tree house river cloud stone flower bridge window garden d
 _VERB = "sits rests stands waits sleeps floats glows drifts leans hides".split()
 _PREP = "near beside under over behind before beyond around".split()
 
+# disjoint vocabulary for hard-negative captions ("entirely different
+# caption" per FIXTURES.md — zero shared substrings with the main templates)
+_ALT_WORDS = "zumba quorx flindel yarrow pindle gromek suvak torbin welkin oprish".split()
+
+
+def _make_alt_caption(rng: np.random.Generator) -> str:
+    n = 6 + int(rng.integers(0, 10))
+    return " ".join(_ALT_WORDS[int(rng.integers(len(_ALT_WORDS)))] for _ in range(n))
+
 
 def _make_caption(rng: np.random.Generator) -> str:
     """Template sentence, 6-24 words, lowercase ascii."""
@@ -166,7 +175,7 @@ def generate_corpus(
             heavy = np.clip(img.astype(np.float64) * 1.25 + 15, 0, 255).astype(
                 np.uint8
             )
-            add_row(heavy, _make_caption(rng), fmt)
+            add_row(heavy, _make_alt_caption(rng), fmt)
 
     images = pd.DataFrame(rows)
     dup_pairs_truth = pd.DataFrame(

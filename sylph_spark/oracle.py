@@ -58,14 +58,30 @@ def corpus_counts(sketches: list[ItemSketch]) -> dict[int, int]:
     return dict(zip(vals.tolist(), cnts.tolist()))
 
 
-def lsh_candidates(sketches: list[ItemSketch], cfg: SketchConfig) -> set[tuple[str, str]]:
-    """Banded MinHash → candidate id pairs (replaces all-pairs contain.rs:266-292)."""
+def band_df_limit(cfg: SketchConfig, n_items: int) -> int:
+    return max(cfg.band_max_df_min, int(cfg.band_max_df_frac * n_items))
+
+
+def lsh_candidates(
+    sketches: list[ItemSketch], cfg: SketchConfig, counts: dict[int, int] | None = None
+) -> set[tuple[str, str]]:
+    """Banded MinHash → candidate id pairs (replaces all-pairs contain.rs:266-292).
+
+    Shingles with corpus document-frequency above the band_df limit are
+    excluded from banding (stop-shingle masking — the corpus analog of
+    sylph's repeat masking sketch.rs:590-600); scoring still uses full sets.
+    """
     seeds = K.minhash_seeds(cfg.num_hashes, cfg.seed)
+    limit = band_df_limit(cfg, len(sketches)) if counts is not None else None
     buckets: dict[tuple[int, int], list[str]] = {}
     for s in sketches:
-        if s.shingles.size == 0:
+        sh = s.shingles
+        if limit is not None and sh.size:
+            keep = np.array([counts.get(int(x), 0) <= limit for x in sh])
+            sh = sh[keep]
+        if sh.size == 0:
             continue
-        sig = K.minhash_signature(s.shingles, seeds)
+        sig = K.minhash_signature(sh, seeds)
         bh = K.band_hashes(sig, cfg.num_bands, cfg.rows_per_band)
         for band, h in enumerate(bh.tolist()):
             buckets.setdefault((band, h), []).append(s.image_id)
@@ -211,7 +227,7 @@ def run_oracle(images: pd.DataFrame, cfg: SketchConfig | None = None) -> OracleR
     cfg = cfg or SketchConfig()
     sketches = sketch_corpus(images, cfg)
     counts = corpus_counts(sketches)
-    candidates = lsh_candidates(sketches, cfg)
+    candidates = lsh_candidates(sketches, cfg, counts)
     scored = score_candidates(sketches, candidates, counts, cfg)
     verified = verify_pairs(scored, sketches, cfg)
     clusters = connected_components(

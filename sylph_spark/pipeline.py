@@ -78,9 +78,23 @@ class DedupPipeline:
             .agg(F.count(F.lit(1)).cast("int").alias("cnt"))
         )
 
-    def _stage_candidates(self, sketches: DataFrame) -> DataFrame:
+    def _stage_candidates(self, sketches: DataFrame, counts: DataFrame) -> DataFrame:
         cfg = self.cfg
-        bands = sketches.select("image_id", "shingles").mapInPandas(
+        # stop-shingle masking (corpus analog of sylph's repeat masking,
+        # sketch.rs:590-600): drop shingles with document frequency above the
+        # limit from BANDING input — boilerplate shingles otherwise create
+        # dense buckets and quadratic candidate growth. Scoring still uses
+        # the full sets.
+        n_items = sketches.count()
+        limit = max(cfg.band_max_df_min, int(cfg.band_max_df_frac * n_items))
+        rare = counts.filter(F.col("cnt") <= limit).select("shingle")
+        band_input = (
+            sketches.select("image_id", F.explode("shingles").alias("shingle"))
+            .join(rare, "shingle")
+            .groupBy("image_id")
+            .agg(F.collect_list("shingle").alias("shingles"))
+        )
+        bands = band_input.mapInPandas(
             udfs.make_band_fn(cfg), schema=udfs.BAND_SCHEMA
         )
         w_rank = (
@@ -273,7 +287,9 @@ class DedupPipeline:
         counts = ensure(
             "shingle_counts", lambda: self._stage_shingle_counts(sketches)
         )
-        candidates = ensure("candidates", lambda: self._stage_candidates(sketches))
+        candidates = ensure(
+            "candidates", lambda: self._stage_candidates(sketches, counts)
+        )
         scored = ensure(
             "scored", lambda: self._stage_scored(candidates, sketches, counts)
         )
@@ -300,11 +316,14 @@ def run_volatile(
     For tests/smoke runs; production runs use DedupPipeline.run (resumable)."""
     p = DedupPipeline.__new__(DedupPipeline)
     p.spark, p.cfg = spark, cfg
+    # only sketches is consumed by 4 downstream stages — checkpoint it once;
+    # everything else is single-consumer and stays lazily fused by Catalyst
+    # (the CC loop materializes the edge chain exactly once itself)
     sketches = p._stage_sketches(images).localCheckpoint()
-    counts = p._stage_shingle_counts(sketches).localCheckpoint()
-    candidates = p._stage_candidates(sketches).localCheckpoint()
-    scored = p._stage_scored(candidates, sketches, counts).localCheckpoint()
-    verified = p._stage_verified(scored, sketches).localCheckpoint()
+    counts = p._stage_shingle_counts(sketches)
+    candidates = p._stage_candidates(sketches, counts)
+    scored = p._stage_scored(candidates, sketches, counts)
+    verified = p._stage_verified(scored, sketches)
     clusters = p._stage_clusters(sketches, verified)
     survivors = p._stage_survivors(clusters)
     return {
