@@ -68,7 +68,7 @@ class DedupPipeline:
         return (
             images.select("image_id", "bytes", "fmt", "caption")
             .repartition(n_part, "image_id")
-            .mapInPandas(udfs.make_sketch_fn(self.cfg), schema=udfs.SKETCH_SCHEMA)
+            .mapInArrow(udfs.make_sketch_arrow_fn(self.cfg), schema=udfs.SKETCH_SCHEMA)
         )
 
     def _stage_shingle_counts(self, sketches: DataFrame) -> DataFrame:
@@ -94,7 +94,7 @@ class DedupPipeline:
             .groupBy("image_id")
             .agg(F.collect_list("shingle").alias("shingles"))
         )
-        bands = band_input.mapInPandas(
+        bands = band_input.mapInArrow(
             udfs.make_band_fn(cfg), schema=udfs.BAND_SCHEMA
         )
         w_rank = (
