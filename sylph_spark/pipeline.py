@@ -320,7 +320,7 @@ def run_volatile(
     # everything else is single-consumer and stays lazily fused by Catalyst
     # (the CC loop materializes the edge chain exactly once itself)
     sketches = p._stage_sketches(images).localCheckpoint()
-    counts = p._stage_shingle_counts(sketches)
+    counts = p._stage_shingle_counts(sketches).localCheckpoint()  # 2 consumers
     candidates = p._stage_candidates(sketches, counts)
     scored = p._stage_scored(candidates, sketches, counts)
     verified = p._stage_verified(scored, sketches)
