@@ -49,6 +49,10 @@ class SketchConfig:
     # otherwise create dense LSH buckets and quadratic candidate growth
     band_max_df_min: int = 32
     band_max_df_frac: float = 0.02
+    # absolute cap: a shingle in more than this many items never enters
+    # banding regardless of corpus size — bounds LSH bucket sizes (and hence
+    # candidate volume) independently of n
+    band_max_df_abs: int = 256
     # LSH skew handling: buckets larger than this are pair-generated in
     # chunks across tasks (salted), never dropped
     max_band_bucket: int = 2000

@@ -59,7 +59,10 @@ def corpus_counts(sketches: list[ItemSketch]) -> dict[int, int]:
 
 
 def band_df_limit(cfg: SketchConfig, n_items: int) -> int:
-    return max(cfg.band_max_df_min, int(cfg.band_max_df_frac * n_items))
+    return min(
+        max(cfg.band_max_df_min, int(cfg.band_max_df_frac * n_items)),
+        cfg.band_max_df_abs,
+    )
 
 
 def lsh_candidates(

@@ -86,7 +86,10 @@ class DedupPipeline:
         # dense buckets and quadratic candidate growth. Scoring still uses
         # the full sets.
         n_items = sketches.count()
-        limit = max(cfg.band_max_df_min, int(cfg.band_max_df_frac * n_items))
+        limit = min(
+            max(cfg.band_max_df_min, int(cfg.band_max_df_frac * n_items)),
+            cfg.band_max_df_abs,
+        )
         rare = counts.filter(F.col("cnt") <= limit).select("shingle")
         band_input = (
             sketches.select("image_id", F.explode("shingles").alias("shingle"))

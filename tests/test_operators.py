@@ -1,0 +1,182 @@
+"""Operator-library tests: dedup/text/similarity/multimodal/streaming
+components over small synthetic inputs."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sylph_spark import codecs, fixtures
+from sylph_spark.operators import (
+    cosine_knn,
+    cosine_nn_blocked,
+    exact_dedup,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_features,
+    text_fingerprint,
+)
+from sylph_spark.operators.multimodal import frame_sample, image_features
+from sylph_spark.operators.similarity import hyperplane_bucket
+from sylph_spark.operators.text import token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (3, "completely different content about spark query engines and joins"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestDedupOps:
+    def test_exact_dedup(self, docs):
+        out = {r["fp"]: (r["rep_id"], r["n_copies"]) for r in exact_dedup(docs, "doc_id", "text").collect()}
+        assert len(out) == 3
+        assert (1, 2) in out.values()  # docs 1 and 4 collapse, rep = min id
+
+    def test_ngram_jaccard(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", max_df=10).collect()
+        }
+        assert pairs[(1, 4)] == pytest.approx(1.0)
+        assert pairs[(1, 2)] > 0.7
+        assert (1, 3) not in pairs
+
+    def test_minhash_lsh(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        }
+        assert (1, 4) in pairs  # exact dups always share the full signature
+        assert (1, 3) not in pairs
+
+
+class TestTextOps:
+    def test_quality(self, docs):
+        rows = {r["doc_id"]: r for r in quality_features(docs, "doc_id", "text").collect()}
+        assert rows[1]["n_tokens"] == 13
+        assert rows[1]["punct_ratio"] == 0.0
+
+    def test_langid(self, docs):
+        rows = {r["doc_id"]: r["pred_lang"] for r in language_id(docs, "doc_id", "text").collect()}
+        assert rows[1] == "en_ish"
+
+    def test_tokens(self, docs):
+        rows = {r["doc_id"]: r for r in token_count(docs, "doc_id", "text").collect()}
+        assert rows[3]["ws_tokens"] == 9
+        assert rows[3]["bpe_ish_tokens"] >= 9
+
+    def test_fingerprint_collapses_case(self, spark):
+        df = spark.createDataFrame([(1, "Same Text"), (2, "same text")], ["doc_id", "text"])
+        fps = {r["doc_id"]: r["fp"] for r in text_fingerprint(df, "doc_id", "text").collect()}
+        assert fps[1] == fps[2]
+
+
+class TestSimilarityOps:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rng = np.random.default_rng(9)
+        rows = []
+        for i in range(40):
+            v = rng.normal(size=8)
+            rows.append((i, [float(x) for x in v], int(i % 4)))
+        return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    def test_knn_self_is_top1(self, vecs):
+        q = vecs.filter("vec_id = 0").collect()[0]["embedding"]
+        top = cosine_knn(vecs, "vec_id", "embedding", q, k=3).collect()
+        assert top[0]["vec_id"] == 0 and top[0]["rnk"] == 1
+        assert top[0]["cosine"] == pytest.approx(1.0)
+
+    def test_blocked_nn(self, vecs):
+        out = cosine_nn_blocked(vecs, "vec_id", "embedding", "label").collect()
+        ids = {r["vec_id"] for r in out}
+        assert len(ids) == 40  # every vector gets a same-label neighbor
+        by_id = {r["vec_id"]: r for r in out}
+        assert by_id[0]["nn_id"] % 4 == 0  # same label block
+
+    def test_hyperplane_bucket(self, vecs):
+        b = vecs.select(hyperplane_bucket("embedding", 4).alias("b")).collect()
+        assert all(len(r["b"]) == 4 and set(r["b"]) <= {"0", "1"} for r in b)
+
+
+class TestMultimodal:
+    def test_image_features(self, spark):
+        images, _ = fixtures.generate_corpus(20, 42)
+        from sylph_spark.pipeline import images_df_from_pandas
+
+        df = images_df_from_pandas(spark, images)
+        feats = {r["image_id"]: r for r in image_features(df).collect()}
+        src = images.set_index("image_id")
+        for iid, r in feats.items():
+            assert r["decode_ok"]
+            assert r["w"] == src.loc[iid, "w"] and r["h"] == src.loc[iid, "h"]
+            assert r["phash"] == src.loc[iid, "phash"]  # recomputed == stored
+            assert 0 < r["mean_lum"] < 255
+
+    def test_external_codec_stub(self, spark):
+        df = spark.createDataFrame(
+            [("x", b"\xff\xd8\xff", "jpeg")], ["image_id", "bytes", "fmt"]
+        )
+        out = image_features(df).collect()
+        assert len(out) == 1 and not out[0]["decode_ok"]  # flagged, not crashed
+
+    def test_frame_sample_rawvid(self, spark):
+        rng = np.random.default_rng(3)
+        frames = []
+        for _ in range(25):
+            img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            enc = codecs.encode_qpng(img)
+            frames.append(struct.pack(">I", len(enc)) + enc)
+        blob = b"".join(frames)
+        df = spark.createDataFrame([("vid0", blob, "rawvid")], ["media_id", "bytes", "fmt"])
+        out = frame_sample(df, every_n=10, max_frames=8).collect()
+        assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 10, 20]
+        for r in out:
+            assert codecs.decode_qpng(r["frame_bytes"]).shape == (16, 16, 3)
+
+
+class TestStreaming:
+    def test_incremental_sketch_equals_batch(self, spark, tmp_path):
+        """Path-equivalence: streaming-ingested sketches ≡ batch sketches."""
+        from sylph_spark.config import SketchConfig
+        from sylph_spark.pipeline import DedupPipeline, images_df_from_pandas
+        from sylph_spark.streaming.ingest import incremental_sketch_stream
+
+        images, _ = fixtures.generate_corpus(30, 42)
+        src = str(tmp_path / "in")
+        half1 = images.iloc[:24]
+        half2 = images.iloc[24:]
+        images_df_from_pandas(spark, half1).write.mode("overwrite").parquet(src)
+        images_df_from_pandas(spark, half2).write.mode("append").parquet(src)
+
+        q = incremental_sketch_stream(
+            spark,
+            src,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            SketchConfig(),
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+        got = {
+            r["image_id"]: (sorted(r["shingles"]), r["simhash"])
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        p = DedupPipeline.__new__(DedupPipeline)
+        p.spark, p.cfg = spark, SketchConfig()
+        exp = {
+            r["image_id"]: (sorted(r["shingles"]), r["simhash"])
+            for r in p._stage_sketches(
+                images_df_from_pandas(spark, images)
+            ).collect()
+        }
+        assert got == exp
