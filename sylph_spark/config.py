@@ -21,8 +21,9 @@ class SketchConfig:
     c: int = 2
     # caption character-shingle length (sylph -k; ≤8 so a shingle packs in u64)
     k_caption: int = 6
-    # image block grid: block size in px, quantization shift, rolling window
-    block_px: int = 8
+    # image block grid: block size in px (0 = adaptive ~8×8 blocks per
+    # image), quantization shift, rolling window
+    block_px: int = 0
     q_shift: int = 5
     k_block: int = 2
     n_grids: int = 2

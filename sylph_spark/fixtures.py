@@ -52,6 +52,11 @@ def _make_caption(rng: np.random.Generator) -> str:
             ["and", "with", "by"][rng.integers(3)]
         )
         words.append(_ADJ[rng.integers(len(_ADJ))])
+    # distinctive entity tokens (real captions name specific things: users,
+    # products, places) — without them every caption is template boilerplate
+    # and shingle space collapses, which no web corpus does
+    words.append("near")
+    words.append(f"{_NOUN[rng.integers(len(_NOUN))]}{int(rng.integers(100000)):05d}")
     return " ".join(words)
 
 

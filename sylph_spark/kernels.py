@@ -208,6 +208,11 @@ def image_shingles(
     different image locations stay distinct (images are positional media,
     unlike genomes).
     """
+    if block_px == 0:
+        # resolution-adaptive grid: ~8×8 blocks whatever the image size, so
+        # image shingle density (and hence image-vs-caption weight in the
+        # combined set) is resolution-independent
+        block_px = max(2, min(gray.shape) // 8)
     out = []
     offsets = [g / n_grids for g in range(n_grids)]
     bw = U64((gray.shape[1] // block_px) & 0x3F)  # grid width tag (mod 64)
