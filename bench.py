@@ -37,8 +37,9 @@ BENCH_QUERIES = [
 ]
 
 
-def _fixture_parquet(n_base: int, seed: int = 42) -> str:
-    """Generate (once) and cache the fixture corpus as parquet."""
+def _fixture_parquet(n_base: int, seed: int = 42, spark=None) -> str:
+    """Generate (once) and cache the fixture corpus as parquet. With a live
+    session the distributed generator is used (32× faster at scale)."""
     cache = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".bench_cache",
@@ -46,10 +47,15 @@ def _fixture_parquet(n_base: int, seed: int = 42) -> str:
     )
     if not os.path.exists(cache):
         os.makedirs(os.path.dirname(cache), exist_ok=True)
-        from sylph_spark import fixtures
+        if spark is not None:
+            from sylph_spark import fixtures_spark
 
-        images, _ = fixtures.generate_corpus(n_base=n_base, seed=seed)
-        images.to_parquet(cache, index=False)
+            fixtures_spark.write_corpus(spark, n_base, cache, seed)
+        else:
+            from sylph_spark import fixtures
+
+            images, _ = fixtures.generate_corpus(n_base=n_base, seed=seed)
+            images.to_parquet(cache, index=False)
     return cache
 
 
@@ -84,7 +90,7 @@ def run_bench(sf_dir: str, cpus: int, n_base: int) -> dict:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
 
-    images_path = _fixture_parquet(n_base)
+    images_path = _fixture_parquet(n_base, spark=spark)
     dt, n_img = run_dedup(spark, images_path)
     qtimes["dedup_pipeline"] = round(dt, 3)
     total = round(sum(qtimes.values()), 3)
@@ -106,7 +112,9 @@ def run_scaling(n_base: int) -> None:
     """local[8] vs local[32] on the identical input → BENCH/BASELINE.md."""
     from sylph_spark.session import build_spark
 
-    images_path = _fixture_parquet(n_base)
+    gen_spark = build_spark("gen", master="local[32]", shuffle_partitions=64)
+    images_path = _fixture_parquet(n_base, spark=gen_spark)
+    gen_spark.stop()
     results = {}
     for cpus in (8, 32):
         spark = build_spark(
@@ -148,7 +156,7 @@ executor count; skew is handled by chunked pair-generation + AQE skew-join.
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_base = int(os.environ.get("SYLPH_BENCH_IMAGES", "2000"))
+    n_base = int(os.environ.get("SYLPH_BENCH_IMAGES", "20000"))
     if "--scaling" in sys.argv:
         run_scaling(n_base)
     else:

@@ -265,10 +265,7 @@ def simhash64(shingles: np.ndarray) -> int:
     bits = (h[:, None] >> np.arange(64, dtype=U64)[None, :]) & U64(1)
     votes = bits.sum(axis=0, dtype=np.int64) * 2 - h.size
     out = np.where(votes > 0, np.uint64(1), np.uint64(0))
-    val = U64(0)
-    for i in range(64):
-        val |= out[i] << U64(i)
-    return int(val)
+    return int(np.bitwise_or.reduce(out << np.arange(64, dtype=U64)))
 
 
 def hamming64(a: int, b: int) -> int:
