@@ -40,6 +40,11 @@ class SketchConfig:
     simhash_max_hamming: int = 24
     lcs_min_len: int = 8
     lcs_min_frac: float = 0.25
+    # scoring prefilter: candidate pairs whose raw intersection fraction
+    # is below this never reach the estimator chain (JVM-side filter; the
+    # analog of sylph's min-ANI cut contain.rs:746-764 applied early).
+    # Kept well under tau so λ-boosted pairs (adj = naive/(1-e^-λ)) survive.
+    score_min_contain: float = 0.25
     # λ estimation guards (constants.rs:4, cmdline.rs:94-95)
     min_count_correct: float = 3.0
     estimator: str = "ratio"

@@ -319,14 +319,24 @@ def _gammainc_lower_reg(a: float, x: float) -> float:
     return 1.0 - q
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=262144)
+def _poisson_cdf_cached(kf: int, lam: float) -> float:
+    return 1.0 - _gammainc_lower_reg(kf + 1.0, lam)
+
+
 def poisson_cdf(k: float, lam: float) -> float:
-    """P(X <= k) for X ~ Poisson(lam). cdf(k) = Q(floor(k)+1, lam)."""
+    """P(X <= k) for X ~ Poisson(lam). cdf(k) = Q(floor(k)+1, lam).
+    Cached — the scoring tail walk evaluates the same small (k, λ) values
+    across millions of pairs."""
     if lam <= 0.0:
         return 1.0
     kf = math.floor(k)
     if kf < 0:
         return 0.0
-    return 1.0 - _gammainc_lower_reg(kf + 1.0, lam)
+    return _poisson_cdf_cached(int(kf), float(lam))
 
 
 # ---------------------------------------------------------------------------
@@ -349,10 +359,12 @@ def coverage_stats(covs: np.ndarray, total_kmers: int) -> dict:
     median_cov = float(covs[contain_count // 2])
     max_cov = math.inf
     if median_cov < 30.0:
-        for i in range(contain_count // 2, contain_count):
-            cov = float(covs[i])
-            if poisson_cdf(cov, median_cov) < CUTOFF_PVALUE:
-                max_cov = cov
+        # the reference walks elements (contain.rs:664-678); covs is sorted
+        # and the verdict depends only on the value, so walking DISTINCT
+        # values ≥ covs[len/2] is exact and ~20× fewer CDF evaluations
+        for cov in np.unique(covs[contain_count // 2 :]).astype(np.float64):
+            if poisson_cdf(float(cov), median_cov) < CUTOFF_PVALUE:
+                max_cov = float(cov)
             else:
                 break
     kept = covs[covs.astype(np.float64) <= max_cov]

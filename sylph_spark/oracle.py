@@ -119,6 +119,8 @@ def score_candidates(
         if small.shingles.size == 0:
             continue
         inter = np.intersect1d(small.shingles, big.shingles, assume_unique=True)
+        if inter.size < cfg.score_min_contain * small.shingles.size:
+            continue  # prefilter (cannot reach tau; see config.score_min_contain)
         covs = np.array([counts[int(s)] for s in inter], dtype=np.int64)
         res = K.score_pair(
             covs,

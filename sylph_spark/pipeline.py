@@ -205,8 +205,16 @@ class DedupPipeline:
             .agg(F.count(F.lit(1)).cast("int").alias("n"))
             .groupBy("id_a", "id_b", "total_kmers")
             .agg(
-                F.collect_list(F.struct("cnt", "n")).alias("hist")
+                F.collect_list(F.struct("cnt", "n")).alias("hist"),
+                F.sum("n").alias("inter_sz"),
             )
+            # JVM-side prefilter (min-ANI analog, contain.rs:746-764): pairs
+            # below the floor can't reach tau — don't ship them to Python
+            .filter(
+                F.col("inter_sz")
+                >= self.cfg.score_min_contain * F.col("total_kmers")
+            )
+            .drop("inter_sz")
         )
         return hist.mapInPandas(
             udfs.make_score_hist_fn(self.cfg), schema=udfs.SCORE_SCHEMA
