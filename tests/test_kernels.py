@@ -269,7 +269,7 @@ class TestSuffixLCS:
     @given(st.text(alphabet="abcd", max_size=30), st.text(alphabet="abcd", max_size=30))
     @settings(max_examples=100, deadline=None)
     def test_matches_dp(self, a, b):
-        # O(n²) DP reference
+        # O(n²) DP reference; automaton and suffix-array paths must agree
         best = 0
         for i in range(len(a)):
             for j in range(len(b)):
@@ -278,3 +278,7 @@ class TestSuffixLCS:
                     l += 1
                 best = max(best, l)
         assert K.longest_common_substring(a, b) == best
+        if a and b:
+            ab, bb = a.encode(), b.encode()
+            assert K._lcs_suffix_automaton(ab, bb) == best
+            assert K._lcs_suffix_array(ab, bb) == best
