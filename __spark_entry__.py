@@ -532,8 +532,49 @@ def _q_a3_approx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_e2_mle_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 zero-inflated-Poisson MLE via Newton-Raphson (inference.rs:157-205,
+    hidden --mle flag) per group — iterative, not SQL-expressible."""
+    import pandas as pd
+
+    from sylph_spark import kernels as K
+
+    _register(spark, sf_dir)
+    df = spark.sql(
+        "SELECT l_returnflag AS grp, CAST(l_quantity AS INT) % 5 AS cov FROM lineitem"
+    )
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lam = K.mle_zip(pdf["cov"].to_numpy(), k=7.0)
+        return pd.DataFrame(
+            [{"grp": key[0], "mle_lambda": lam if lam is not None else float("nan")}]
+        )
+
+    return df.groupBy("grp").applyInPandas(fn, schema="grp string, mle_lambda double")
+
+
+def _q_s2_format_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 file-type routing (sketch.rs:95-121): fixture images routed by
+    format, with decode validation counts per format."""
+    from sylph_spark import fixtures
+    from sylph_spark.operators.multimodal import image_features
+    from sylph_spark.pipeline import images_df_from_pandas
+
+    images, _ = fixtures.generate_corpus(n_base=100, seed=42)
+    df = images_df_from_pandas(spark, images)
+    feats = image_features(df).join(df.select("image_id", "fmt"), "image_id")
+    from pyspark.sql import functions as F
+
+    return feats.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("int")).alias("n_decoded"),
+    )
+
+
 SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_approx_dedup": _q_a3_approx_dedup,
+    "e2_mle_zip": _q_e2_mle_zip,
+    "s2_format_routing": _q_s2_format_routing,
     "a8_tail_cut": _q_a8_tail_cut,
     "e9_bootstrap_ci": _q_e9_bootstrap,
     "dedup_clusters": _q_dedup_clusters,

@@ -148,51 +148,44 @@ class DedupPipeline:
     def _stage_scored(
         self, candidates: DataFrame, sketches: DataFrame, counts: DataFrame
     ) -> DataFrame:
-        prof = sketches.select("image_id", "n_shingles")
+        # join candidate pairs with the two shingle ARRAYS (shuffles pairs,
+        # not pair×shingle rows) and intersect in-task with array_intersect —
+        # the probe-join J1 (contain.rs:632-652) without a 10⁹-row exchange.
+        # The intersection only is exploded afterwards, and the (small)
+        # counts table joins in — broadcast when under the AQE threshold.
+        prof = sketches.select("image_id", "n_shingles", "shingles")
         cand = (
             candidates.join(
                 prof.select(
-                    F.col("image_id").alias("id_a"), F.col("n_shingles").alias("n_a")
+                    F.col("image_id").alias("id_a"),
+                    F.col("n_shingles").alias("n_a"),
+                    F.col("shingles").alias("sh_a"),
                 ),
                 "id_a",
             )
             .join(
                 prof.select(
-                    F.col("image_id").alias("id_b"), F.col("n_shingles").alias("n_b")
+                    F.col("image_id").alias("id_b"),
+                    F.col("n_shingles").alias("n_b"),
+                    F.col("shingles").alias("sh_b"),
                 ),
                 "id_b",
             )
-            .withColumn(
-                "small_id",
-                F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a")).otherwise(
-                    F.col("id_b")
-                ),
-            )
-            .withColumn(
-                "big_id",
-                F.when(F.col("n_a") <= F.col("n_b"), F.col("id_b")).otherwise(
-                    F.col("id_a")
-                ),
-            )
             .withColumn("total_kmers", F.least("n_a", "n_b"))
-            .select("id_a", "id_b", "small_id", "big_id", "total_kmers")
-        )
-        tall = sketches.select(
-            "image_id", F.explode("shingles").alias("shingle")
-        )
-        tall_b = tall.select(
-            F.col("image_id").alias("b_image_id"), F.col("shingle").alias("b_shingle")
-        )
-        inter = (
-            cand.join(tall, cand["small_id"] == tall["image_id"])
-            .select("id_a", "id_b", "big_id", "total_kmers", "shingle")
-            .join(
-                tall_b,
-                (F.col("big_id") == F.col("b_image_id"))
-                & (F.col("shingle") == F.col("b_shingle")),
-                "inner",
+            .select(
+                "id_a",
+                "id_b",
+                "total_kmers",
+                F.array_intersect("sh_a", "sh_b").alias("inter"),
             )
-            .select("id_a", "id_b", "total_kmers", "shingle")
+            # early prefilter on raw intersection size (min-ANI analog,
+            # contain.rs:746-764) before exploding anything
+            .filter(
+                F.size("inter") >= self.cfg.score_min_contain * F.col("total_kmers")
+            )
+        )
+        inter = cand.select(
+            "id_a", "id_b", "total_kmers", F.explode("inter").alias("shingle")
         )
         with_counts = inter.join(counts, "shingle").select(
             "id_a", "id_b", "total_kmers", "cnt"
@@ -204,17 +197,7 @@ class DedupPipeline:
             with_counts.groupBy("id_a", "id_b", "total_kmers", "cnt")
             .agg(F.count(F.lit(1)).cast("int").alias("n"))
             .groupBy("id_a", "id_b", "total_kmers")
-            .agg(
-                F.collect_list(F.struct("cnt", "n")).alias("hist"),
-                F.sum("n").alias("inter_sz"),
-            )
-            # JVM-side prefilter (min-ANI analog, contain.rs:746-764): pairs
-            # below the floor can't reach tau — don't ship them to Python
-            .filter(
-                F.col("inter_sz")
-                >= self.cfg.score_min_contain * F.col("total_kmers")
-            )
-            .drop("inter_sz")
+            .agg(F.collect_list(F.struct("cnt", "n")).alias("hist"))
         )
         return hist.mapInPandas(
             udfs.make_score_hist_fn(self.cfg), schema=udfs.SCORE_SCHEMA
