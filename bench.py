@@ -108,22 +108,47 @@ def run_bench(sf_dir: str, cpus: int, n_base: int) -> dict:
     return result
 
 
+_LEG_SNIPPET = """
+import sys, json, time
+sys.path.insert(0, {repo!r})
+import bench
+from sylph_spark.session import build_spark
+spark = build_spark("scale{cpus}", master="local[{cpus}]", shuffle_partitions={parts})
+bench.run_dedup(spark, {path!r})            # warm-up: JIT + shuffle paths
+dt, n = bench.run_dedup(spark, {path!r})    # measured run
+print(json.dumps({{"sec": dt, "images": n, "ips": n / dt}}))
+spark.stop()
+"""
+
+
 def run_scaling(n_base: int) -> None:
-    """local[8] vs local[32] on the identical input → BENCH/BASELINE.md."""
+    """local[8] vs local[32] on the identical input → BENCH/BASELINE.md.
+
+    Each parallelism level runs in its OWN process (cold JVM) with one
+    warm-up pass before the measured pass — otherwise the second leg
+    inherits a JIT-warm JVM and the comparison is biased.
+    """
+    import subprocess
+
     from sylph_spark.session import build_spark
 
     gen_spark = build_spark("gen", master="local[32]", shuffle_partitions=64)
     images_path = _fixture_parquet(n_base, spark=gen_spark)
     gen_spark.stop()
+    repo = os.path.dirname(os.path.abspath(__file__))
     results = {}
     for cpus in (8, 32):
-        spark = build_spark(
-            f"sylph_scale_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+        code = _LEG_SNIPPET.format(
+            repo=repo, cpus=cpus, parts=cpus * 2, path=images_path
         )
-        # warm-up JVM/Arrow paths on a small slice, then measure
-        dt, n = run_dedup(spark, images_path)
-        results[cpus] = {"sec": dt, "images": n, "ips": n / dt}
-        spark.stop()
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SYLPH_DRIVER_MEM": os.environ.get("SYLPH_DRIVER_MEM", "48g")},
+            check=True,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
     t8, t32 = results[8]["sec"], results[32]["sec"]
     eff = (t8 / t32) / 4.0
     md = f"""# BENCH — scaling evidence (north rule: N→4N efficiency ≥ 0.8)
