@@ -141,8 +141,12 @@ def run_scaling(n_base: int) -> None:
         code = _LEG_SNIPPET.format(
             repo=repo, cpus=cpus, parts=cpus * 2, path=images_path
         )
+        # taskset pins the WHOLE process tree (JVM GC/IO/netty threads and
+        # Python workers included) to exactly `cpus` cores — without it the
+        # "small cluster" leg borrows the idle cores for JVM helper threads
+        # and the comparison overstates small-N throughput
         out = subprocess.run(
-            [sys.executable, "-c", code],
+            ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
             capture_output=True,
             text=True,
             env={**os.environ, "SYLPH_DRIVER_MEM": os.environ.get("SYLPH_DRIVER_MEM", "48g")},
