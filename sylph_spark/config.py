@@ -25,14 +25,14 @@ class SketchConfig:
     # image), quantization shift, rolling window
     block_px: int = 0
     q_shift: int = 5
-    k_block: int = 2
+    k_block: int = 3
     n_grids: int = 2
     # MinHash/LSH (graft: replaces sylph's all-pairs loop contain.rs:266-292)
     num_bands: int = 40
     rows_per_band: int = 3
     # similarity threshold on the corrected containment score (analog of
     # --minimum-ani, constants.rs:10-11)
-    tau: float = 0.65
+    tau: float = 0.6
     # exponent root for containment → similarity (sylph k in ANI = idx^{1/k};
     # ani_k=1 reports raw containment as the similarity score)
     ani_k: float = 1.0
@@ -58,7 +58,7 @@ class SketchConfig:
     # absolute cap: a shingle in more than this many items never enters
     # banding regardless of corpus size — bounds LSH bucket sizes (and hence
     # candidate volume) independently of n
-    band_max_df_abs: int = 256
+    band_max_df_abs: int = 1024
     # LSH skew handling: buckets larger than this are pair-generated in
     # chunks across tasks (salted), never dropped
     max_band_bucket: int = 2000
