@@ -26,18 +26,18 @@ class SketchConfig:
     block_px: int = 0
     q_shift: int = 5
     k_block: int = 3
-    n_grids: int = 2
+    n_grids: int = 3
     # MinHash/LSH (graft: replaces sylph's all-pairs loop contain.rs:266-292)
     num_bands: int = 40
     rows_per_band: int = 3
     # similarity threshold on the corrected containment score (analog of
     # --minimum-ani, constants.rs:10-11)
-    tau: float = 0.6
+    tau: float = 0.52
     # exponent root for containment → similarity (sylph k in ANI = idx^{1/k};
     # ani_k=1 reports raw containment as the similarity score)
     ani_k: float = 1.0
     # verification stage
-    simhash_max_hamming: int = 24
+    simhash_max_hamming: int = 26
     lcs_min_len: int = 8
     lcs_min_frac: float = 0.25
     # scoring prefilter: candidate pairs whose raw intersection fraction

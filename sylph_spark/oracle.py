@@ -27,7 +27,9 @@ from .config import SketchConfig
 @dataclass
 class ItemSketch:
     image_id: str
-    shingles: np.ndarray  # sorted unique u64
+    shingles: np.ndarray  # sorted unique u64 (union of the two families)
+    img_shingles: np.ndarray
+    cap_shingles: np.ndarray
     simhash: int
     caption: str
 
@@ -41,7 +43,9 @@ def sketch_item(
     )
     cap_sh = K.caption_shingles(caption, cfg.k_caption, cfg.c)
     shingles = np.union1d(img_sh, cap_sh)
-    return ItemSketch(image_id, shingles, K.simhash64(shingles), caption)
+    return ItemSketch(
+        image_id, shingles, img_sh, cap_sh, K.simhash64(shingles), caption
+    )
 
 
 def sketch_corpus(images: pd.DataFrame, cfg: SketchConfig) -> list[ItemSketch]:
@@ -78,16 +82,17 @@ def lsh_candidates(
     limit = band_df_limit(cfg, len(sketches)) if counts is not None else None
     buckets: dict[tuple[int, int], list[str]] = {}
     for s in sketches:
-        sh = s.shingles
-        if limit is not None and sh.size:
-            keep = np.array([counts.get(int(x), 0) <= limit for x in sh])
-            sh = sh[keep]
-        if sh.size == 0:
-            continue
-        sig = K.minhash_signature(sh, seeds)
-        bh = K.band_hashes(sig, cfg.num_bands, cfg.rows_per_band)
-        for band, h in enumerate(bh.tolist()):
-            buckets.setdefault((band, h), []).append(s.image_id)
+        # source-aware banding: image and caption families band separately
+        for offset, sh in ((0, s.img_shingles), (cfg.num_bands, s.cap_shingles)):
+            if limit is not None and sh.size:
+                keep = np.array([counts.get(int(x), 0) <= limit for x in sh])
+                sh = sh[keep]
+            if sh.size == 0:
+                continue
+            sig = K.minhash_signature(sh, seeds)
+            bh = K.band_hashes(sig, cfg.num_bands, cfg.rows_per_band)
+            for band, h in enumerate(bh.tolist()):
+                buckets.setdefault((band + offset, h), []).append(s.image_id)
     pairs: set[tuple[str, str]] = set()
     for members in buckets.values():
         if len(members) < 2:

@@ -91,14 +91,22 @@ class DedupPipeline:
             cfg.band_max_df_abs,
         )
         rare = counts.filter(F.col("cnt") <= limit).select("shingle")
-        band_input = (
-            sketches.select("image_id", F.explode("shingles").alias("shingle"))
-            .join(rare, "shingle")
-            .groupBy("image_id")
-            .agg(F.collect_list("shingle").alias("shingles"))
-        )
-        bands = band_input.mapInArrow(
-            udfs.make_band_fn(cfg), schema=udfs.BAND_SCHEMA
+
+        def family_bands(col: str, offset: int) -> DataFrame:
+            band_input = (
+                sketches.select("image_id", F.explode(col).alias("shingle"))
+                .join(rare, "shingle")
+                .groupBy("image_id")
+                .agg(F.collect_list("shingle").alias("shingles"))
+            )
+            return band_input.mapInArrow(
+                udfs.make_band_fn(cfg, band_offset=offset), schema=udfs.BAND_SCHEMA
+            )
+
+        # source-aware banding: image and caption shingles band separately
+        # so a pair identical in either modality is always a candidate
+        bands = family_bands("img_shingles", 0).unionByName(
+            family_bands("cap_shingles", cfg.num_bands)
         )
         w_rank = (
             "row_number() over (partition by band, band_hash order by image_id) - 1"

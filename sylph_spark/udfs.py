@@ -19,8 +19,8 @@ from . import kernels as K
 from .config import SketchConfig
 
 SKETCH_SCHEMA = (
-    "image_id string, shingles array<long>, n_shingles int, simhash long, "
-    "caption string"
+    "image_id string, shingles array<long>, img_shingles array<long>, "
+    "cap_shingles array<long>, n_shingles int, simhash long, caption string"
 )
 
 BAND_SCHEMA = "image_id string, band int, band_hash long"
@@ -49,8 +49,10 @@ def make_sketch_arrow_fn(cfg: SketchConfig):
             fmts = tbl.column(tbl.schema.get_field_index("fmt")).to_pylist()
             caps = tbl.column(tbl.schema.get_field_index("caption")).to_pylist()
             n = len(ids)
-            chunks = []
+            chunks, img_chunks, cap_chunks = [], [], []
             offsets = np.zeros(n + 1, dtype=np.int32)
+            img_offsets = np.zeros(n + 1, dtype=np.int32)
+            cap_offsets = np.zeros(n + 1, dtype=np.int32)
             n_sh = np.zeros(n, dtype=np.int32)
             sims = np.zeros(n, dtype=np.int64)
             for i in range(n):
@@ -61,32 +63,52 @@ def make_sketch_arrow_fn(cfg: SketchConfig):
                 cap_sh = K.caption_shingles(caps[i], cfg.k_caption, cfg.c)
                 sh = np.union1d(img_sh, cap_sh)
                 chunks.append(K.u64_to_i64(sh))
+                img_chunks.append(K.u64_to_i64(img_sh))
+                cap_chunks.append(K.u64_to_i64(cap_sh))
                 offsets[i + 1] = offsets[i] + sh.size
+                img_offsets[i + 1] = img_offsets[i] + img_sh.size
+                cap_offsets[i + 1] = cap_offsets[i] + cap_sh.size
                 n_sh[i] = sh.size
                 sims[i] = _i64(K.simhash64(sh))
-            values = (
-                np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
-            )
-            shingles_arr = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), pa.array(values, pa.int64())
-            )
+
+            def list_arr(offs, chks):
+                vals = np.concatenate(chks) if chks else np.empty(0, dtype=np.int64)
+                return pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), pa.array(vals, pa.int64())
+                )
+
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, pa.string()),
-                    shingles_arr,
+                    list_arr(offsets, chunks),
+                    list_arr(img_offsets, img_chunks),
+                    list_arr(cap_offsets, cap_chunks),
                     pa.array(n_sh, pa.int32()),
                     pa.array(sims, pa.int64()),
                     pa.array(caps, pa.string()),
                 ],
-                names=["image_id", "shingles", "n_shingles", "simhash", "caption"],
+                names=[
+                    "image_id",
+                    "shingles",
+                    "img_shingles",
+                    "cap_shingles",
+                    "n_shingles",
+                    "simhash",
+                    "caption",
+                ],
             )
 
     return fn
 
 
-def make_band_fn(cfg: SketchConfig):
-    """mapInArrow: sketches → (image_id, band, band_hash) tall rows, built
-    with numpy repeat/tile (no per-row Python)."""
+def make_band_fn(cfg: SketchConfig, band_offset: int = 0):
+    """mapInArrow: (image_id, shingles) → (image_id, band, band_hash) tall
+    rows, built with numpy repeat/tile (no per-row Python).
+
+    ``band_offset`` namespaces LSH families: the pipeline bands image
+    shingles and caption shingles SEPARATELY (offset 0 / num_bands), so a
+    pair identical in either modality is caught regardless of perturbation
+    in the other (source-aware banding)."""
     seeds = K.minhash_seeds(cfg.num_hashes, cfg.seed)
     nb = cfg.num_bands
 
@@ -118,7 +140,9 @@ def make_band_fn(cfg: SketchConfig):
                 )
                 continue
             ids_rep = np.repeat(np.array(keep_ids, dtype=object), nb)
-            bands = np.tile(np.arange(nb, dtype=np.int32), m)
+            bands = np.tile(
+                np.arange(band_offset, band_offset + nb, dtype=np.int32), m
+            )
             hashes = np.concatenate(hash_chunks)
             yield pa.RecordBatch.from_arrays(
                 [
