@@ -27,9 +27,17 @@ class SketchConfig:
     q_shift: int = 5
     k_block: int = 3
     n_grids: int = 3
-    # MinHash/LSH (graft: replaces sylph's all-pairs loop contain.rs:266-292)
+    # MinHash/LSH (graft: replaces sylph's all-pairs loop contain.rs:266-292).
+    # Three LSH families: the COMBINED shingle set uses wide/shallow bands
+    # (num_bands × rows_per_band) to catch cross-modal partial similarity;
+    # the per-modality families (image-only, caption-only) use narrow/deep
+    # bands (family_bands × family_rows) because with source-aware banding
+    # each family only needs to catch pairs near-identical in that modality
+    # — every dup class is near-identical in at least one family.
     num_bands: int = 40
     rows_per_band: int = 3
+    family_bands: int = 10
+    family_rows: int = 5
     # similarity threshold on the corrected containment score (analog of
     # --minimum-ani, constants.rs:10-11)
     tau: float = 0.52

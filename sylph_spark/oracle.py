@@ -78,19 +78,28 @@ def lsh_candidates(
     excluded from banding (stop-shingle masking — the corpus analog of
     sylph's repeat masking sketch.rs:590-600); scoring still uses full sets.
     """
-    seeds = K.minhash_seeds(cfg.num_hashes, cfg.seed)
     limit = band_df_limit(cfg, len(sketches)) if counts is not None else None
+    fb, fr = cfg.family_bands, cfg.family_rows
+    families = (
+        (0, cfg.num_bands, cfg.rows_per_band, "shingles"),
+        (cfg.num_bands, fb, fr, "img_shingles"),
+        (cfg.num_bands + fb, fb, fr, "cap_shingles"),
+    )
+    seeds_by_n = {
+        nb * rpb: K.minhash_seeds(nb * rpb, cfg.seed) for _, nb, rpb, _ in families
+    }
     buckets: dict[tuple[int, int], list[str]] = {}
     for s in sketches:
-        # source-aware banding: image and caption families band separately
-        for offset, sh in ((0, s.img_shingles), (cfg.num_bands, s.cap_shingles)):
+        # three LSH families (source-aware banding; see SketchConfig)
+        for offset, nb, rpb, attr in families:
+            sh = getattr(s, attr)
             if limit is not None and sh.size:
                 keep = np.array([counts.get(int(x), 0) <= limit for x in sh])
                 sh = sh[keep]
             if sh.size == 0:
                 continue
-            sig = K.minhash_signature(sh, seeds)
-            bh = K.band_hashes(sig, cfg.num_bands, cfg.rows_per_band)
+            sig = K.minhash_signature(sh, seeds_by_n[nb * rpb])
+            bh = K.band_hashes(sig, nb, rpb)
             for band, h in enumerate(bh.tolist()):
                 buckets.setdefault((band + offset, h), []).append(s.image_id)
     pairs: set[tuple[str, str]] = set()

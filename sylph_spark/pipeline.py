@@ -92,7 +92,7 @@ class DedupPipeline:
         )
         rare = counts.filter(F.col("cnt") <= limit).select("shingle")
 
-        def family_bands(col: str, offset: int) -> DataFrame:
+        def family_bands(col: str, offset: int, nb: int, rpb: int) -> DataFrame:
             band_input = (
                 sketches.select("image_id", F.explode(col).alias("shingle"))
                 .join(rare, "shingle")
@@ -100,13 +100,19 @@ class DedupPipeline:
                 .agg(F.collect_list("shingle").alias("shingles"))
             )
             return band_input.mapInArrow(
-                udfs.make_band_fn(cfg, band_offset=offset), schema=udfs.BAND_SCHEMA
+                udfs.make_band_fn(cfg, offset, nb, rpb), schema=udfs.BAND_SCHEMA
             )
 
-        # source-aware banding: image and caption shingles band separately
-        # so a pair identical in either modality is always a candidate
-        bands = family_bands("img_shingles", 0).unionByName(
-            family_bands("cap_shingles", cfg.num_bands)
+        # three LSH families (source-aware banding): combined wide/shallow
+        # for cross-modal partial similarity; per-modality narrow/deep for
+        # near-identical-in-that-family pairs (see SketchConfig)
+        fb, fr = cfg.family_bands, cfg.family_rows
+        bands = (
+            family_bands("shingles", 0, cfg.num_bands, cfg.rows_per_band)
+            .unionByName(family_bands("img_shingles", cfg.num_bands, fb, fr))
+            .unionByName(
+                family_bands("cap_shingles", cfg.num_bands + fb, fb, fr)
+            )
         )
         w_rank = (
             "row_number() over (partition by band, band_hash order by image_id) - 1"

@@ -101,16 +101,22 @@ def make_sketch_arrow_fn(cfg: SketchConfig):
     return fn
 
 
-def make_band_fn(cfg: SketchConfig, band_offset: int = 0):
+def make_band_fn(
+    cfg: SketchConfig,
+    band_offset: int = 0,
+    num_bands: int | None = None,
+    rows_per_band: int | None = None,
+):
     """mapInArrow: (image_id, shingles) → (image_id, band, band_hash) tall
     rows, built with numpy repeat/tile (no per-row Python).
 
-    ``band_offset`` namespaces LSH families: the pipeline bands image
-    shingles and caption shingles SEPARATELY (offset 0 / num_bands), so a
-    pair identical in either modality is caught regardless of perturbation
-    in the other (source-aware banding)."""
-    seeds = K.minhash_seeds(cfg.num_hashes, cfg.seed)
-    nb = cfg.num_bands
+    ``band_offset`` namespaces LSH families (source-aware banding): the
+    combined set bands wide/shallow; the image-only and caption-only
+    families band narrow/deep — each family only needs to catch pairs
+    near-identical in that modality."""
+    nb = num_bands or cfg.num_bands
+    rpb = rows_per_band or cfg.rows_per_band
+    seeds = K.minhash_seeds(nb * rpb, cfg.seed)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -125,7 +131,7 @@ def make_band_fn(cfg: SketchConfig, band_offset: int = 0):
                 if sh.size == 0:
                     continue
                 sig = K.minhash_signature(sh, seeds)
-                bh = K.band_hashes(sig, nb, cfg.rows_per_band)
+                bh = K.band_hashes(sig, nb, rpb)
                 keep_ids.append(iid)
                 hash_chunks.append(K.u64_to_i64(bh))
             m = len(keep_ids)
