@@ -34,10 +34,10 @@ class SketchConfig:
     # bands (family_bands × family_rows) because with source-aware banding
     # each family only needs to catch pairs near-identical in that modality
     # — every dup class is near-identical in at least one family.
-    num_bands: int = 40
-    rows_per_band: int = 3
-    family_bands: int = 10
-    family_rows: int = 5
+    num_bands: int = 15
+    rows_per_band: int = 4
+    family_bands: int = 6
+    family_rows: int = 8
     # similarity threshold on the corrected containment score (analog of
     # --minimum-ani, constants.rs:10-11)
     tau: float = 0.52
