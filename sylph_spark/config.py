@@ -67,6 +67,10 @@ class SketchConfig:
     # banding regardless of corpus size — bounds LSH bucket sizes (and hence
     # candidate volume) independently of n
     band_max_df_abs: int = 1024
+    # banding rare-set strategy: when the stop-shingle-filtered vocabulary
+    # is at most this many entries it is broadcast into the band UDF
+    # (zero-shuffle banding); larger vocabularies use the join path
+    broadcast_rare_max: int = 5_000_000
     # LSH skew handling: buckets larger than this are pair-generated in
     # chunks across tasks (salted), never dropped
     max_band_bucket: int = 2000

@@ -61,14 +61,13 @@ class DedupPipeline:
         # explicit repartition: input tables often arrive as few large files;
         # decode+shingle is CPU-bound, so spread it across all cores
         # (north-rule explicit repartitioning; sized to cluster parallelism)
-        n_part = max(
-            self.spark.sparkContext.defaultParallelism * 2,
-            images.rdd.getNumPartitions(),
-        )
-        return (
-            images.select("image_id", "bytes", "fmt", "caption")
-            .repartition(n_part, "image_id")
-            .mapInArrow(udfs.make_sketch_arrow_fn(self.cfg), schema=udfs.SKETCH_SCHEMA)
+        par = self.spark.sparkContext.defaultParallelism
+        src = images.select("image_id", "bytes", "fmt", "caption")
+        if images.rdd.getNumPartitions() < par:
+            # only shuffle when the input arrives under-partitioned
+            src = src.repartition(par * 2, "image_id")
+        return src.mapInArrow(
+            udfs.make_sketch_arrow_fn(self.cfg), schema=udfs.SKETCH_SCHEMA
         )
 
     def _stage_shingle_counts(self, sketches: DataFrame) -> DataFrame:
@@ -91,29 +90,48 @@ class DedupPipeline:
             cfg.band_max_df_abs,
         )
         rare = counts.filter(F.col("cnt") <= limit).select("shingle")
-
-        def family_bands(col: str, offset: int, nb: int, rpb: int) -> DataFrame:
-            band_input = (
-                sketches.select("image_id", F.explode(col).alias("shingle"))
-                .join(rare, "shingle")
-                .groupBy("image_id")
-                .agg(F.collect_list("shingle").alias("shingles"))
-            )
-            return band_input.mapInArrow(
-                udfs.make_band_fn(cfg, offset, nb, rpb), schema=udfs.BAND_SCHEMA
-            )
-
+        n_rare = rare.count()
         # three LSH families (source-aware banding): combined wide/shallow
         # for cross-modal partial similarity; per-modality narrow/deep for
         # near-identical-in-that-family pairs (see SketchConfig)
         fb, fr = cfg.family_bands, cfg.family_rows
-        bands = (
-            family_bands("shingles", 0, cfg.num_bands, cfg.rows_per_band)
-            .unionByName(family_bands("img_shingles", cfg.num_bands, fb, fr))
-            .unionByName(
-                family_bands("cap_shingles", cfg.num_bands + fb, fb, fr)
+        if n_rare <= cfg.broadcast_rare_max:
+            # broadcast the rare vocabulary into one multi-family band UDF:
+            # no explode, no re-aggregation shuffle
+            import numpy as np
+
+            rare_arr = np.sort(
+                np.fromiter(
+                    (r["shingle"] for r in rare.collect()),
+                    dtype=np.int64,
+                    count=n_rare,
+                )
             )
-        )
+            bands = sketches.select(
+                "image_id", "img_shingles", "cap_shingles"
+            ).mapInArrow(
+                udfs.make_multi_band_fn(cfg, rare_arr), schema=udfs.BAND_SCHEMA
+            )
+        else:
+
+            def family_bands(col: str, offset: int, nb: int, rpb: int) -> DataFrame:
+                band_input = (
+                    sketches.select("image_id", F.explode(col).alias("shingle"))
+                    .join(rare, "shingle")
+                    .groupBy("image_id")
+                    .agg(F.collect_list("shingle").alias("shingles"))
+                )
+                return band_input.mapInArrow(
+                    udfs.make_band_fn(cfg, offset, nb, rpb), schema=udfs.BAND_SCHEMA
+                )
+
+            bands = (
+                family_bands("shingles", 0, cfg.num_bands, cfg.rows_per_band)
+                .unionByName(family_bands("img_shingles", cfg.num_bands, fb, fr))
+                .unionByName(
+                    family_bands("cap_shingles", cfg.num_bands + fb, fb, fr)
+                )
+            )
         w_rank = (
             "row_number() over (partition by band, band_hash order by image_id) - 1"
         )

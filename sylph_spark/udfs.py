@@ -162,6 +162,74 @@ def make_band_fn(
     return fn
 
 
+def make_multi_band_fn(cfg: SketchConfig, rare_sorted_i64: np.ndarray):
+    """mapInArrow: sketches(image_id, img_shingles, cap_shingles) → band rows
+    for ALL THREE LSH families in one pass, filtering stop-shingles against a
+    broadcast sorted rare-set (np.searchsorted membership) — zero shuffles
+    until the bucket join. Used when the rare set fits in a task closure;
+    the join-based path handles the 10¹²-scale case."""
+    families = (
+        (0, cfg.num_bands, cfg.rows_per_band),
+        (cfg.num_bands, cfg.family_bands, cfg.family_rows),
+        (cfg.num_bands + cfg.family_bands, cfg.family_bands, cfg.family_rows),
+    )
+    seeds_by_n = {
+        nb * rpb: K.minhash_seeds(nb * rpb, cfg.seed) for _, nb, rpb in families
+    }
+    rare = rare_sorted_i64
+
+    def keep_rare(arr_i64: np.ndarray) -> np.ndarray:
+        if arr_i64.size == 0:
+            return arr_i64
+        idx = np.searchsorted(rare, arr_i64)
+        idx_c = np.clip(idx, 0, rare.size - 1)
+        mask = (idx < rare.size) & (rare[idx_c] == arr_i64)
+        return arr_i64[mask]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            get = lambda name: batch.column(batch.schema.get_field_index(name))
+            ids = get("image_id").to_pylist()
+            img_lists = get("img_shingles").to_pylist()
+            cap_lists = get("cap_shingles").to_pylist()
+            out_ids, out_bands, out_hashes = [], [], []
+            for iid, img_l, cap_l in zip(ids, img_lists, cap_lists):
+                img = keep_rare(np.asarray(img_l, dtype=np.int64))
+                cap = keep_rare(np.asarray(cap_l, dtype=np.int64))
+                combined = np.concatenate([img, cap])
+                for (offset, nb, rpb), sh_i64 in zip(
+                    families, (combined, img, cap)
+                ):
+                    if sh_i64.size == 0:
+                        continue
+                    sh = K.i64_to_u64(sh_i64)
+                    sig = K.minhash_signature(sh, seeds_by_n[nb * rpb])
+                    bh = K.band_hashes(sig, nb, rpb)
+                    out_ids.extend([iid] * nb)
+                    out_bands.append(
+                        np.arange(offset, offset + nb, dtype=np.int32)
+                    )
+                    out_hashes.append(K.u64_to_i64(bh))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, pa.string()),
+                    pa.array(
+                        np.concatenate(out_bands)
+                        if out_bands
+                        else np.empty(0, np.int32)
+                    ),
+                    pa.array(
+                        np.concatenate(out_hashes)
+                        if out_hashes
+                        else np.empty(0, np.int64)
+                    ),
+                ],
+                names=["image_id", "band", "band_hash"],
+            )
+
+    return fn
+
+
 def make_score_hist_fn(cfg: SketchConfig):
     """mapInPandas over pair rows (id_a, id_b, total_kmers, hist) where hist
     is a list of {cnt, n} structs — the Arrow-batched fast path of the
