@@ -114,7 +114,10 @@ sys.path.insert(0, {repo!r})
 import bench
 from sylph_spark.session import build_spark
 spark = build_spark("scale{cpus}", master="local[{cpus}]", shuffle_partitions={parts})
-bench.run_dedup(spark, {warm_path!r})       # warm-up: JIT + shuffle paths
+# warm-up on the FULL input: JIT compilation AND the OS page cache for the
+# input parquet — the sandbox disk is slow enough that a cold read dominates
+# wall time and would mask the parallelism signal on both legs
+bench.run_dedup(spark, {path!r})
 dt, n = bench.run_dedup(spark, {path!r})    # measured run
 print(json.dumps({{"sec": dt, "images": n, "ips": n / dt}}))
 spark.stop()
@@ -134,13 +137,12 @@ def run_scaling(n_base: int) -> None:
 
     gen_spark = build_spark("gen", master="local[32]", shuffle_partitions=64)
     images_path = _fixture_parquet(n_base, spark=gen_spark)
-    warm_path = _fixture_parquet(max(n_base // 20, 2000), spark=gen_spark)
     gen_spark.stop()
     repo = os.path.dirname(os.path.abspath(__file__))
     results = {}
     for cpus in (8, 32):
         code = _LEG_SNIPPET.format(
-            repo=repo, cpus=cpus, parts=cpus * 2, path=images_path, warm_path=warm_path
+            repo=repo, cpus=cpus, parts=cpus * 2, path=images_path
         )
         # taskset pins the WHOLE process tree (JVM GC/IO/netty threads and
         # Python workers included) to exactly `cpus` cores — without it the
