@@ -281,7 +281,7 @@ def _jaccard_sql(shingle_sql: str) -> str:
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT id_a, id_b,
-               ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+               CAST(ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS DOUBLE) AS jaccard
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
@@ -350,8 +350,8 @@ _EMB_NN_DUCK = """
 _TXT_QUALITY_SPARK = """
     SELECT doc_id,
            SIZE(SPLIT(TRIM(text), ' +')) AS n_tokens,
-           ROUND((LENGTH(text) - LENGTH(REPLACE(REPLACE(REPLACE(text, '.', ''), ',', ''), '!', ''))) * 1.0
-                 / LENGTH(text), 6) AS punct_ratio,
+           CAST(ROUND((LENGTH(text) - LENGTH(REPLACE(REPLACE(REPLACE(text, '.', ''), ',', ''), '!', ''))) * 1.0
+                 / LENGTH(text), 6) AS DOUBLE) AS punct_ratio,
            CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1 ELSE 0 END AS quality_ok
     FROM documents
 """
@@ -359,8 +359,8 @@ _TXT_QUALITY_SPARK = """
 _TXT_QUALITY_DUCK = """
     SELECT doc_id,
            LENGTH(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS n_tokens,
-           ROUND((LENGTH(text) - LENGTH(REPLACE(REPLACE(REPLACE(text, '.', ''), ',', ''), '!', ''))) * 1.0
-                 / LENGTH(text), 6) AS punct_ratio,
+           CAST(ROUND((LENGTH(text) - LENGTH(REPLACE(REPLACE(REPLACE(text, '.', ''), ',', ''), '!', ''))) * 1.0
+                 / LENGTH(text), 6) AS DOUBLE) AS punct_ratio,
            CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1 ELSE 0 END AS quality_ok
     FROM documents
 """

@@ -136,6 +136,15 @@ def _distributed_cc(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iter without changed == 0: labels may still be
+        # mid-propagation (split components). Pointer jumping converges in
+        # O(log diameter) iterations, so hitting 50 means a pathological
+        # graph — surface it instead of returning silently-wrong clusters.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"(last delta: {changed} labels still changing)"
+        )
     return labels.select(
         F.col("u").alias(node_col), F.col("lbl").alias("cluster_id")
     )

@@ -71,9 +71,10 @@ class SketchConfig:
     # is at most this many entries it is broadcast into the band UDF
     # (zero-shuffle banding); larger vocabularies use the join path
     broadcast_rare_max: int = 5_000_000
-    # LSH skew handling: buckets larger than this are pair-generated in
-    # chunks across tasks (salted), never dropped
-    max_band_bucket: int = 2000
+    # LSH skew handling: bucket pair generation is UNCONDITIONALLY chunked —
+    # every bucket of size s fans out over ceil(s/pair_chunk)² (ci,cj) tasks
+    # (pipeline._stage_candidates), so a hot bucket never lands on one task.
+    # Small buckets get nchunks=1 and pay only a no-op sequence explode.
     pair_chunk: int = 256
     seed: int = 42
 

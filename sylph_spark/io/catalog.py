@@ -63,9 +63,18 @@ class StageCatalog:
             d = json.load(f)
         return StageManifest(**d)
 
-    def has_valid(self, name: str, config_hash: str) -> bool:
+    def has_valid(
+        self, name: str, config_hash: str, input_fp: str | None = None
+    ) -> bool:
+        """A committed stage is reusable iff BOTH the config hash and (when
+        given) the input fingerprint match — the input-side half of the
+        reference's sketch-compatibility check (contain.rs:503-516): a
+        resumed run against a different source table must not silently
+        reuse stages computed from the old corpus."""
         m = self.manifest(name)
-        return m is not None and m.config_hash == config_hash
+        if m is None or m.config_hash != config_hash:
+            return False
+        return input_fp is None or m.extra.get("input_fp") == input_fp
 
     # -- io ---------------------------------------------------------------
     def write(

@@ -37,6 +37,30 @@ from .cc import connected_components
 from .config import SketchConfig
 from .io.catalog import StageCatalog
 
+def input_fingerprint(images: DataFrame) -> str:
+    """Cheap identity of the input table for checkpoint validity.
+
+    File-backed inputs (the production case — Iceberg/parquet snapshots)
+    fingerprint by their sorted file list: zero data scan, and any new
+    snapshot/compaction changes the set. Non-file inputs (test DataFrames)
+    fall back to an order-insensitive content probe over the id column only
+    (count + bit_xor of xxhash64 — one column-pruned pass, no overflow
+    under ANSI mode)."""
+    import hashlib
+    import json
+
+    files = sorted(images.inputFiles())
+    if files:
+        token = json.dumps(files)
+    else:
+        row = images.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(image_id))").alias("x"),
+        ).collect()[0]
+        token = f"{row['n']}:{row['x']}"
+    return hashlib.sha256(token.encode()).hexdigest()[:16]
+
+
 STAGES = [
     "sketches",
     "shingle_counts",
@@ -63,8 +87,14 @@ class DedupPipeline:
         # (north-rule explicit repartitioning; sized to cluster parallelism)
         par = self.spark.sparkContext.defaultParallelism
         src = images.select("image_id", "bytes", "fmt", "caption")
-        if images.rdd.getNumPartitions() < par:
-            # only shuffle when the input arrives under-partitioned
+        # only shuffle when the input arrives under-partitioned. File count
+        # is a plan-only proxy (no RDD conversion, no job): it can undercount
+        # when one big file splits by maxPartitionBytes, in which case we pay
+        # one extra shuffle before a CPU-bound stage — cheap insurance. The
+        # RDD probe only runs for non-file sources (test DataFrames).
+        files = images.inputFiles()
+        n_parts = len(files) if files else images.rdd.getNumPartitions()
+        if n_parts < par:
             src = src.repartition(par * 2, "image_id")
         return src.mapInArrow(
             udfs.make_sketch_arrow_fn(self.cfg), schema=udfs.SKETCH_SCHEMA
@@ -77,20 +107,29 @@ class DedupPipeline:
             .agg(F.count(F.lit(1)).cast("int").alias("cnt"))
         )
 
-    def _stage_candidates(self, sketches: DataFrame, counts: DataFrame) -> DataFrame:
+    def _stage_candidates(
+        self, sketches: DataFrame, counts: DataFrame, n_items: int
+    ) -> DataFrame:
+        """``n_items`` (the sketch-table row count) is threaded in from the
+        stage manifest — re-counting here would be a full extra pass over
+        the sketches table per run."""
         cfg = self.cfg
         # stop-shingle masking (corpus analog of sylph's repeat masking,
         # sketch.rs:590-600): drop shingles with document frequency above the
         # limit from BANDING input — boilerplate shingles otherwise create
         # dense buckets and quadratic candidate growth. Scoring still uses
         # the full sets.
-        n_items = sketches.count()
         limit = min(
             max(cfg.band_max_df_min, int(cfg.band_max_df_frac * n_items)),
             cfg.band_max_df_abs,
         )
         rare = counts.filter(F.col("cnt") <= limit).select("shingle")
-        n_rare = rare.count()
+        # ONE action decides broadcast-vs-join AND fetches the vocabulary:
+        # limit(max+1) early-terminates the scan once the cap is exceeded,
+        # and toArrow() lands the column as a numpy-backed buffer (no
+        # driver-side Python-object loop).
+        rare_tbl = rare.limit(cfg.broadcast_rare_max + 1).toArrow()
+        n_rare = rare_tbl.num_rows
         # three LSH families (source-aware banding): combined wide/shallow
         # for cross-modal partial similarity; per-modality narrow/deep for
         # near-identical-in-that-family pairs (see SketchConfig)
@@ -100,13 +139,7 @@ class DedupPipeline:
             # no explode, no re-aggregation shuffle
             import numpy as np
 
-            rare_arr = np.sort(
-                np.fromiter(
-                    (r["shingle"] for r in rare.collect()),
-                    dtype=np.int64,
-                    count=n_rare,
-                )
-            )
+            rare_arr = np.sort(rare_tbl.column("shingle").to_numpy())
             bands = sketches.select(
                 "image_id", "img_shingles", "cap_shingles"
             ).mapInArrow(
@@ -301,20 +334,24 @@ class DedupPipeline:
 
     def run(self, images: DataFrame, force: bool = False) -> dict[str, DataFrame]:
         """Run all stages, skipping any whose committed manifest matches the
-        current config hash (checkpoint/resume, north rule)."""
+        current config hash AND input fingerprint (checkpoint/resume, north
+        rule; the input side mirrors contain.rs:503-516 compatibility)."""
         cat, h = self.catalog, self.h
+        fp = input_fingerprint(images)
 
         def ensure(name: str, builder) -> DataFrame:
-            if force or not cat.has_valid(name, h):
-                cat.write(builder(), name, h)
+            if force or not cat.has_valid(name, h, fp):
+                cat.write(builder(), name, h, extra={"input_fp": fp})
             return cat.read(name)
 
         sketches = ensure("sketches", lambda: self._stage_sketches(images))
         counts = ensure(
             "shingle_counts", lambda: self._stage_shingle_counts(sketches)
         )
+        # row count comes from the committed manifest — no re-count action
+        n_items = cat.manifest("sketches").rows
         candidates = ensure(
-            "candidates", lambda: self._stage_candidates(sketches, counts)
+            "candidates", lambda: self._stage_candidates(sketches, counts, n_items)
         )
         scored = ensure(
             "scored", lambda: self._stage_scored(candidates, sketches, counts)
@@ -347,7 +384,7 @@ def run_volatile(
     # (the CC loop materializes the edge chain exactly once itself)
     sketches = p._stage_sketches(images).localCheckpoint()
     counts = p._stage_shingle_counts(sketches).localCheckpoint()  # 2 consumers
-    candidates = p._stage_candidates(sketches, counts)
+    candidates = p._stage_candidates(sketches, counts, sketches.count())
     scored = p._stage_scored(candidates, sketches, counts)
     verified = p._stage_verified(scored, sketches)
     clusters = p._stage_clusters(sketches, verified)

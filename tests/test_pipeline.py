@@ -149,6 +149,21 @@ class TestResume:
         pipe3 = DedupPipeline(spark, SketchConfig(tau=0.7), workdir)
         assert not pipe3.catalog.has_valid("sketches", pipe3.h)
 
+    def test_input_change_invalidates(self, spark, spark_result, corpus):
+        """Same config but a DIFFERENT input table must invalidate committed
+        stages (input half of the reference's compatibility check,
+        contain.rs:503-516) — while the original input still validates."""
+        from sylph_spark.pipeline import input_fingerprint
+
+        images, _ = corpus
+        pipe, _, workdir = spark_result
+        same_fp = input_fingerprint(images_df_from_pandas(spark, images))
+        assert pipe.catalog.has_valid("sketches", pipe.h, same_fp)
+        other, _ = fixtures.generate_corpus(n_base=30, seed=99)
+        other_fp = input_fingerprint(images_df_from_pandas(spark, other))
+        assert other_fp != same_fp
+        assert not pipe.catalog.has_valid("sketches", pipe.h, other_fp)
+
     def test_manifests_and_lineage_exist(self, spark_result):
         pipe, _, workdir = spark_result
         for stage in ["sketches", "clusters", "survivors"]:
