@@ -571,14 +571,83 @@ def _q_s2_format_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_a6_running_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 running-state min-spacing thinning (sketch.rs:602-619): keep an
+    event iff strictly >30s past the last KEPT one per user — true running
+    state via the library operator (grouped applyInPandas), NOT the window
+    LAG analog (a6_window_thin keeps both as documented contrast)."""
+    from sylph_spark.operators.windowed import min_spacing_thin
+
+    _register(spark, sf_dir)
+    events = spark.table("events")
+    kept = min_spacing_thin(
+        events, group_cols=["user_id"], pos_col="ts", spacing=30.0,
+        tie_cols=["event_id"],
+    )
+    return kept.select("event_id")
+
+
+# DuckDB oracle for the running-state thin: the greedy scan is a linear
+# recurrence, expressible as a recursive CTE stepping one row per user per
+# iteration (exact, engine-independent semantics — full hash check).
+_A6_RUNNING_THIN_DUCK = """
+    WITH RECURSIVE ord AS (
+        SELECT user_id, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    walk AS (
+        SELECT user_id, event_id, ts, rn, ts AS last_kept, TRUE AS kept
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.ts, o.rn,
+               CASE WHEN o.ts > w.last_kept + INTERVAL 30 SECOND
+                    THEN o.ts ELSE w.last_kept END,
+               o.ts > w.last_kept + INTERVAL 30 SECOND
+        FROM ord o JOIN walk w ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT event_id FROM walk WHERE kept
+"""
+
+
+def _q_e4_nb_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 negative-binomial grid search for λ (inference.rs:5-102,
+    binary_search_lambda): iterative golden-section-style search over the
+    NB likelihood — not SQL-expressible, rows-only check."""
+    import pandas as pd
+
+    from sylph_spark import kernels as K
+
+    _register(spark, sf_dir)
+    df = spark.sql(
+        "SELECT l_returnflag AS grp, CAST(l_quantity AS INT) % 6 AS cov FROM lineitem"
+    )
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lam = K.binary_search_lambda(pdf["cov"].to_numpy())
+        return pd.DataFrame(
+            [{"grp": key[0], "nb_lambda": lam if lam is not None else float("nan")}]
+        )
+
+    return df.groupBy("grp").applyInPandas(fn, schema="grp string, nb_lambda double")
+
+
 SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_approx_dedup": _q_a3_approx_dedup,
     "e2_mle_zip": _q_e2_mle_zip,
     "s2_format_routing": _q_s2_format_routing,
     "a8_tail_cut": _q_a8_tail_cut,
     "e9_bootstrap_ci": _q_e9_bootstrap,
+    "e4_nb_grid": _q_e4_nb_grid,
+    "a6_running_thin": _q_a6_running_thin,
     "dedup_clusters": _q_dedup_clusters,
     "dedup_survivors": _q_dedup_survivors,
+}
+
+# Spark-side-callable queries that nevertheless HAVE an exact SQL oracle
+# (merged into oracle_sql() for the full hash check).
+CALLABLE_ORACLES: dict[str, str] = {
+    "a6_running_thin": _A6_RUNNING_THIN_DUCK,
 }
 
 
@@ -615,4 +684,5 @@ def oracle_sql() -> dict[str, str]:
     out = dict(SHARED_SQL)
     for name, (_spark, duck) in DIALECT_SQL.items():
         out[name] = duck
+    out.update(CALLABLE_ORACLES)
     return out

@@ -134,6 +134,24 @@ def fracminhash_select(hashes: np.ndarray, c: int) -> np.ndarray:
     return h[h < thr]
 
 
+def min_spacing_keep_mask(pos: np.ndarray, spacing: float) -> np.ndarray:
+    """Running-state min-spacing thinning (sketch.rs:602-619, A6).
+
+    ``pos`` must already be in keep-order. A row is kept iff it is the
+    first, or strictly more than ``spacing`` past the last KEPT row —
+    NOT the previous row (a window LAG is a different operator: for
+    positions [0, 20, 40] at spacing 30 the reference keeps {0, 40},
+    the lag version keeps only {0})."""
+    pos = np.asarray(pos, dtype=np.float64)
+    keep = np.zeros(pos.size, dtype=bool)
+    last = None
+    for i in range(pos.size):
+        if last is None or pos[i] - last > spacing:
+            keep[i] = True
+            last = pos[i]
+    return keep
+
+
 # ---------------------------------------------------------------------------
 # Shingling (graft analog of seeding.rs:86-146 rolling k-mer seeding)
 # ---------------------------------------------------------------------------

@@ -180,3 +180,86 @@ class TestStreaming:
             ).collect()
         }
         assert got == exp
+
+
+class TestMinSpacingThin:
+    """A6 running-state thinning (sketch.rs:602-619): keep iff strictly
+    > spacing past the last KEPT row — verified against an independent
+    greedy python oracle, including the case where a window-LAG analog
+    gives a DIFFERENT (wrong) answer."""
+
+    @staticmethod
+    def _greedy_oracle(positions, spacing):
+        kept, last = [], None
+        for i, p in enumerate(positions):
+            if last is None or p - last > spacing:
+                kept.append(i)
+                last = p
+        return kept
+
+    def test_lag_and_running_state_disagree(self, spark):
+        from sylph_spark.operators import min_spacing_thin
+
+        # three events 20 apart, spacing 30: running state keeps #1 and #3
+        # (40 - 0 > 30); LAG keeps only #1 (both row gaps are 20 <= 30)
+        rows = [(i, float(p), 7) for i, p in enumerate([0, 20, 40])]
+        df = spark.createDataFrame(rows, "event_id long, pos double, user_id long")
+        kept = {
+            r["event_id"]
+            for r in min_spacing_thin(
+                df, ["user_id"], "pos", 30.0, tie_cols=["event_id"]
+            ).collect()
+        }
+        assert kept == {0, 2}
+        lag_kept = {
+            r["event_id"]
+            for r in df.withColumn(
+                "gap", F.col("pos") - F.expr("lag(pos) over (partition by user_id order by pos, event_id)")
+            )
+            .filter(F.col("gap").isNull() | (F.col("gap") > 30.0))
+            .collect()
+        }
+        assert lag_kept == {0}  # the analog this operator replaces
+
+    def test_matches_greedy_oracle_random(self, spark):
+        from sylph_spark.operators import min_spacing_thin
+
+        rng = np.random.default_rng(7)
+        rows = []
+        expected = set()
+        eid = 0
+        for user in range(20):
+            n = int(rng.integers(1, 60))
+            pos = np.cumsum(rng.integers(0, 50, size=n)).astype(float)
+            ids = list(range(eid, eid + n))
+            eid += n
+            for idx in self._greedy_oracle(pos, 30.0):
+                expected.add(ids[idx])
+            rows.extend((i, float(p), user) for i, p in zip(ids, pos))
+        df = spark.createDataFrame(rows, "event_id long, pos double, user_id long")
+        got = {
+            r["event_id"]
+            for r in min_spacing_thin(
+                df, ["user_id"], "pos", 30.0, tie_cols=["event_id"]
+            ).collect()
+        }
+        assert got == expected
+
+    def test_timestamp_column_in_seconds(self, spark):
+        import datetime as dt
+
+        from sylph_spark.operators import min_spacing_thin
+
+        base = dt.datetime(2026, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(seconds=s), 1)
+            for i, s in enumerate([0, 20, 40, 100])
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+        kept = {
+            r["event_id"]
+            for r in min_spacing_thin(
+                df, ["user_id"], "ts", 30.0, tie_cols=["event_id"]
+            ).collect()
+        }
+        assert kept == {0, 2, 3}
