@@ -38,7 +38,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from sylph_spark.config import SketchConfig
-    from sylph_spark.pipeline import DedupPipeline, images_df_from_pandas
+    from sylph_spark.pipeline import STAGES, DedupPipeline, images_df_from_pandas
     from sylph_spark.session import build_spark
 
     cfg = SketchConfig(**json.loads(args.config)) if args.config else SketchConfig()
@@ -70,7 +70,7 @@ def main() -> None:
                 "wall_sec": round(dt, 2),
                 "images_per_sec": round(n_in / dt, 2),
                 "config_hash": cfg.config_hash(),
-                "stages": {m.stage: m.rows for m in map(pipe.catalog.manifest, ["sketches", "shingle_counts", "candidates", "scored", "verified", "clusters", "survivors"]) if m},
+                "stages": {m.stage: m.rows for m in map(pipe.catalog.manifest, STAGES) if m},
             }
         )
     )

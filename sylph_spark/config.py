@@ -56,6 +56,18 @@ class SketchConfig:
     # λ estimation guards (constants.rs:4, cmdline.rs:94-95)
     min_count_correct: float = 3.0
     estimator: str = "ratio"
+    # two-pass winner-table rescoring (contain.rs:410-459 winner table,
+    # consumed at contain.rs:637-645; derep at contain.rs:353-375): each
+    # shingle is owned by the highest-scoring first-pass item containing it;
+    # pairs are rescored on the shingles they still own (kmers_lost tracks
+    # the reassigned ones) and dropped when reassignment exceeds
+    # tau^ani_k · total_kmers. False = single-pass ablation.
+    winner_rescore: bool = True
+    # bootstrap CI resamples per scored pair (contain.rs:849-898; reference
+    # uses 100 with --ci). 0 = off (CI columns emitted as NaN) — it is a
+    # per-pair 100× resampling cost, so off by default at scale.
+    bootstrap_iters: int = 0
+    bootstrap_seed: int = 7
     # stop-shingle masking for banding (corpus analog of sylph's repeat
     # masking, sketch.rs:590-600): shingles with document frequency above
     # max(band_max_df_min, band_max_df_frac·n_items) are excluded from

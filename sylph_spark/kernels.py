@@ -640,6 +640,9 @@ def score_pair(
         "mean_cov": stats["mean_cov"],
         "contain_count": stats["contain_count"],
         "total_kmers": total_kmers,
+        # zero-padded coverage vector, exposed for bootstrap resampling
+        # (contain.rs:849-898 resamples the same vector)
+        "full_covs": stats["full_covs"],
     }
 
 

@@ -174,10 +174,120 @@ def score_candidates(
     )
 
 
+def winner_rescore(
+    scored: pd.DataFrame,
+    sketches: list[ItemSketch],
+    counts: dict[int, int],
+    cfg: SketchConfig,
+) -> pd.DataFrame:
+    """Two-pass winner-table rescoring (contain.rs:410-459 winner table,
+    consumed at contain.rs:637-645; derep threshold contain.rs:353-375).
+
+    Every INFORMATIVE shingle (corpus df ≤ the banding stop-shingle limit)
+    is owned by the highest-scoring first-pass item containing it (tie →
+    larger image_id, matching the Spark max_by struct order); each
+    first-pass pair is rescored on the shingles it still owns, tracking
+    ``kmers_lost``; pairs with kmers_lost ≥ tau^ani_k · total_kmers drop.
+
+    Competition is scoped to the pair's own PRELIMINARY cluster (connected
+    component of first-pass edges): sylph's winner table arbitrates among
+    genomes claimed present in the SAME sample (one results vec per sample,
+    contain.rs:410) — the sample analog here is the duplicate cluster, so
+    items from unrelated clusters never steal a pair's shingles. Boilerplate
+    shingles above the banding df limit never compete either: the reference
+    removes repeat k-mers from genome sketches before the winner table can
+    see them (sketch.rs:595-600), and the corpus-frequency cap is this
+    pipeline's repeat mask."""
+    cols = [
+        "id_a",
+        "id_b",
+        "contain_count",
+        "total_kmers",
+        "naive_sim",
+        "adj_sim",
+        "adjust_status",
+        "lambda",
+        "median_cov",
+        "kmers_lost",
+    ]
+    if not cfg.winner_rescore or scored.empty:
+        out = scored.copy()
+        out["kmers_lost"] = 0
+        return out
+    by_id = {s.image_id: s for s in sketches}
+    first = scored[scored["adj_sim"] >= cfg.tau]
+    item_score: dict[str, float] = {}
+    for r in first.itertuples():
+        for iid in (r.id_a, r.id_b):
+            item_score[iid] = max(item_score.get(iid, float("-inf")), r.adj_sim)
+    limit = band_df_limit(cfg, len(sketches))
+    # preliminary clusters over first-pass edges: the competition scope
+    pre = connected_components(
+        sorted(item_score), first[["id_a", "id_b"]]
+    )
+    label = dict(zip(pre["image_id"], pre["cluster_id"]))
+    winner: dict[tuple[str, int], tuple[float, str]] = {}
+    for iid, sc in item_score.items():
+        cl = label[iid]
+        for sh in by_id[iid].shingles.tolist():
+            if counts.get(sh, 0) > limit:
+                continue  # repeat-mask analog: boilerplate never competes
+            cand = (sc, iid)
+            key = (cl, sh)
+            cur = winner.get(key)
+            if cur is None or cand > cur:
+                winner[key] = cand
+    reass_frac = cfg.tau**cfg.ani_k
+    rows = []
+    for r in first.itertuples():
+        a, b = by_id[r.id_a], by_id[r.id_b]
+        cl = label[r.id_a]
+        inter = np.intersect1d(a.shingles, b.shingles, assume_unique=True)
+        owned = np.array(
+            [
+                (cl, int(s)) not in winner
+                or winner[(cl, int(s))][1] in (r.id_a, r.id_b)
+                for s in inter
+            ],
+            dtype=bool,
+        )
+        kmers_lost = int(inter.size - owned.sum())
+        total = min(a.shingles.size, b.shingles.size)
+        if kmers_lost >= reass_frac * total:
+            continue  # derep anti-filter
+        kept = inter[owned]
+        if kept.size == 0:
+            continue
+        covs = np.array([counts[int(s)] for s in kept], dtype=np.int64)
+        res = K.score_pair(
+            covs, total, cfg.ani_k, cfg.min_count_correct, cfg.estimator
+        )
+        if res is None:
+            continue
+        rows.append(
+            {
+                "id_a": r.id_a,
+                "id_b": r.id_b,
+                "contain_count": res["contain_count"],
+                "total_kmers": res["total_kmers"],
+                "naive_sim": res["naive_ani"],
+                "adj_sim": res["final_est_ani"],
+                "adjust_status": res["adjust_status"],
+                "lambda": res["lambda"],
+                "median_cov": res["median_cov"],
+                "kmers_lost": kmers_lost,
+            }
+        )
+    return pd.DataFrame(rows, columns=cols)
+
+
 def verify_pairs(
     scored: pd.DataFrame, sketches: list[ItemSketch], cfg: SketchConfig
 ) -> pd.DataFrame:
-    """Threshold + SimHash hamming + suffix-array LCS confirmation."""
+    """First-pass threshold + SimHash hamming + suffix-array LCS
+    confirmation — the GATED edge set that drives clustering. The winner
+    rescore refines attribution within these edges, never connectivity
+    (see winner_rescore / pipeline module docstring)."""
     by_id = {s.image_id: s for s in sketches}
     keep = []
     for r in scored.itertuples():
@@ -219,13 +329,28 @@ def connected_components(ids: list[str], edges: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def dedup_survivors(clusters: pd.DataFrame) -> pd.DataFrame:
-    """Representative per cluster = min image_id (deterministic winner; the
-    analog of the winner-table argmax contain.rs:410-459 with id as score)."""
+def dedup_survivors(
+    clusters: pd.DataFrame, verified: pd.DataFrame | None = None
+) -> pd.DataFrame:
+    """Representative per cluster = argmax by mean verified similarity (the
+    winner-table argmax, contain.rs:410-459), ties and singletons falling
+    back to the min image_id."""
+    score_sum: dict[str, float] = {}
+    score_n: dict[str, int] = {}
+    if verified is not None:
+        for r in verified.itertuples():
+            for iid in (r.id_a, r.id_b):
+                score_sum[iid] = score_sum.get(iid, 0.0) + r.adj_sim
+                score_n[iid] = score_n.get(iid, 0) + 1
+    rows = []
+    for cl, grp in clusters.groupby("cluster_id"):
+        best = min(
+            grp["image_id"],
+            key=lambda i: (-(score_sum.get(i, 0.0) / score_n.get(i, 1)), i),
+        )
+        rows.append({"image_id": best, "cluster_id": cl})
     return (
-        clusters.groupby("cluster_id", as_index=False)
-        .agg(image_id=("image_id", "min"))
-        .loc[:, ["image_id", "cluster_id"]]
+        pd.DataFrame(rows, columns=["image_id", "cluster_id"])
         .sort_values("image_id")
         .reset_index(drop=True)
     )
@@ -237,6 +362,8 @@ class OracleResult:
     counts: dict[int, int]
     candidates: set[tuple[str, str]]
     scored: pd.DataFrame
+    gated: pd.DataFrame
+    rescored: pd.DataFrame
     verified: pd.DataFrame
     clusters: pd.DataFrame
     survivors: pd.DataFrame
@@ -248,13 +375,27 @@ def run_oracle(images: pd.DataFrame, cfg: SketchConfig | None = None) -> OracleR
     counts = corpus_counts(sketches)
     candidates = lsh_candidates(sketches, cfg, counts)
     scored = score_candidates(sketches, candidates, counts, cfg)
-    verified = verify_pairs(scored, sketches, cfg)
-    clusters = connected_components(
-        images["image_id"].tolist(), verified[["id_a", "id_b"]]
+    gated = verify_pairs(scored, sketches, cfg)
+    rescored = winner_rescore(scored, sketches, counts, cfg)
+    # second-pass report rows: rescored pairs that still clear tau AND
+    # passed the gates (contain.rs:637-645 re-filtered results)
+    verified = rescored[rescored["adj_sim"] >= cfg.tau].merge(
+        gated[["id_a", "id_b"]], on=["id_a", "id_b"]
     )
-    survivors = dedup_survivors(clusters)
+    clusters = connected_components(
+        images["image_id"].tolist(), gated[["id_a", "id_b"]]
+    )
+    survivors = dedup_survivors(clusters, verified)
     return OracleResult(
-        sketches, counts, candidates, scored, verified, clusters, survivors
+        sketches,
+        counts,
+        candidates,
+        scored,
+        gated,
+        rescored,
+        verified,
+        clusters,
+        survivors,
     )
 
 

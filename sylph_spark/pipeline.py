@@ -8,9 +8,19 @@ config hash):
   2. shingle_counts corpus-wide shingle multiplicities        (A1, sketch.rs:690-731)
   3. candidates     MinHash/LSH banding → candidate pairs     (replaces all-pairs contain.rs:266-292)
   4. scored         corrected-containment scoring             (J1+E1/E6/E7, contain.rs:601-745)
-  5. verified       tau + SimHash hamming + suffix-array LCS  (north-rule verification)
-  6. clusters       iterative connected components
-  7. survivors      one representative per cluster            (winner argmax analog, contain.rs:410-459)
+  5. gated          tau + SimHash hamming + suffix-array LCS  (north-rule verification; cluster edges)
+  6. rescored       winner-table shingle reassignment + derep (contain.rs:410-459,637-645,353-375)
+  7. verified       rescored ∩ gated — the report table       (second-pass results, contain.rs:637-645)
+  8. clusters       iterative connected components over GATED edges
+  9. survivors      argmax representative per cluster         (winner argmax, contain.rs:410-459)
+
+Clustering uses first-pass gated edges, not rescored ones: sylph's winner
+pass reattributes k-mers WITHIN one sample's result set — it refines
+attribution and which rows get reported, never which reads belong to the
+sample. The dedup analog: reassignment refines per-pair scores, kmers_lost
+and the surviving representative inside a cluster, but a pair whose content
+is explained by a same-cluster winner is still a duplicate pair — dropping
+its edge would split true clusters and break dedup idempotence.
 
 Scale design notes (for the 10^12-row cluster, tested at local[*]):
 - joins on (image_id, shingle) / (band, band_hash) are plain shuffle hash
@@ -66,6 +76,8 @@ STAGES = [
     "shingle_counts",
     "candidates",
     "scored",
+    "gated",
+    "rescored",
     "verified",
     "clusters",
     "survivors",
@@ -107,6 +119,13 @@ class DedupPipeline:
             .agg(F.count(F.lit(1)).cast("int").alias("cnt"))
         )
 
+    def _band_df_limit(self, n_items: int) -> int:
+        cfg = self.cfg
+        return min(
+            max(cfg.band_max_df_min, int(cfg.band_max_df_frac * n_items)),
+            cfg.band_max_df_abs,
+        )
+
     def _stage_candidates(
         self, sketches: DataFrame, counts: DataFrame, n_items: int
     ) -> DataFrame:
@@ -119,10 +138,7 @@ class DedupPipeline:
         # limit from BANDING input — boilerplate shingles otherwise create
         # dense buckets and quadratic candidate growth. Scoring still uses
         # the full sets.
-        limit = min(
-            max(cfg.band_max_df_min, int(cfg.band_max_df_frac * n_items)),
-            cfg.band_max_df_abs,
-        )
+        limit = self._band_df_limit(n_items)
         rare = counts.filter(F.col("cnt") <= limit).select("shingle")
         # ONE action decides broadcast-vs-join AND fetches the vocabulary:
         # limit(max+1) early-terminates the scan once the cap is exceeded,
@@ -210,17 +226,14 @@ class DedupPipeline:
         )
         return pairs
 
-    def _stage_scored(
-        self, candidates: DataFrame, sketches: DataFrame, counts: DataFrame
-    ) -> DataFrame:
-        # join candidate pairs with the two shingle ARRAYS (shuffles pairs,
-        # not pair×shingle rows) and intersect in-task with array_intersect —
-        # the probe-join J1 (contain.rs:632-652) without a 10⁹-row exchange.
-        # The intersection only is exploded afterwards, and the (small)
-        # counts table joins in — broadcast when under the AQE threshold.
+    def _pair_intersections(self, pairs: DataFrame, sketches: DataFrame) -> DataFrame:
+        """(id_a, id_b) → (id_a, id_b, total_kmers, inter) by joining the
+        pair table with the shingle ARRAYS (shuffles pairs, not pair×shingle
+        rows) and intersecting in-task with array_intersect — the probe-join
+        J1 (contain.rs:632-652) without a 10⁹-row exchange."""
         prof = sketches.select("image_id", "n_shingles", "shingles")
-        cand = (
-            candidates.join(
+        return (
+            pairs.join(
                 prof.select(
                     F.col("image_id").alias("id_a"),
                     F.col("n_shingles").alias("n_a"),
@@ -243,11 +256,31 @@ class DedupPipeline:
                 "total_kmers",
                 F.array_intersect("sh_a", "sh_b").alias("inter"),
             )
+        )
+
+    @staticmethod
+    def _hist_from_counts(with_counts: DataFrame, extra_cols: list[str]) -> DataFrame:
+        """Compress each pair's coverage vector to a (cnt → n) histogram
+        JVM-side, then score whole Arrow batches of pairs in one Python
+        call — per-group applyInPandas pays ~ms/group, this pays ~µs/pair."""
+        keys = ["id_a", "id_b", "total_kmers", *extra_cols]
+        return (
+            with_counts.groupBy(*keys, "cnt")
+            .agg(F.count(F.lit(1)).cast("int").alias("n"))
+            .groupBy(*keys)
+            .agg(F.collect_list(F.struct("cnt", "n")).alias("hist"))
+        )
+
+    def _stage_scored(
+        self, candidates: DataFrame, sketches: DataFrame, counts: DataFrame
+    ) -> DataFrame:
+        # The intersection only is exploded, and the (small) counts table
+        # joins in — broadcast when under the AQE threshold.
+        cand = self._pair_intersections(candidates, sketches).filter(
             # early prefilter on raw intersection size (min-ANI analog,
             # contain.rs:746-764) before exploding anything
-            .filter(
-                F.size("inter") >= self.cfg.score_min_contain * F.col("total_kmers")
-            )
+            F.size("inter")
+            >= self.cfg.score_min_contain * F.col("total_kmers")
         )
         inter = cand.select(
             "id_a", "id_b", "total_kmers", F.explode("inter").alias("shingle")
@@ -255,20 +288,122 @@ class DedupPipeline:
         with_counts = inter.join(counts, "shingle").select(
             "id_a", "id_b", "total_kmers", "cnt"
         )
-        # compress each pair's coverage vector to a (cnt → n) histogram
-        # JVM-side, then score whole Arrow batches of pairs in one Python
-        # call — per-group applyInPandas pays ~ms/group, this pays ~µs/pair
-        hist = (
-            with_counts.groupBy("id_a", "id_b", "total_kmers", "cnt")
-            .agg(F.count(F.lit(1)).cast("int").alias("n"))
-            .groupBy("id_a", "id_b", "total_kmers")
-            .agg(F.collect_list(F.struct("cnt", "n")).alias("hist"))
+        hist = self._hist_from_counts(with_counts, [])
+        return hist.mapInPandas(
+            udfs.make_score_hist_fn(self.cfg), schema=udfs.SCORE_SCHEMA
+        )
+
+    def _stage_rescored(
+        self,
+        scored: DataFrame,
+        sketches: DataFrame,
+        counts: DataFrame,
+        n_items: int,
+    ) -> DataFrame:
+        """Two-pass winner-table rescoring (contain.rs:410-459 winner table,
+        consumption at contain.rs:637-645, derep at contain.rs:353-375).
+
+        Each INFORMATIVE shingle (corpus df ≤ the banding stop-shingle
+        limit) is owned, WITHIN each preliminary cluster, by the
+        highest-scoring first-pass item that contains it (ties break toward
+        the larger image_id — the reference breaks by result iteration
+        order, which has no distributed analog); every first-pass pair is
+        rescored counting only shingles it still owns; ``kmers_lost``
+        counts the reassigned ones, and pairs whose reassignment reaches
+        tau^ani_k · total_kmers are dropped.
+
+        Two scoping rules keep the graft faithful AND recall-safe at corpus
+        scale: (1) competition runs inside the pair's own preliminary
+        cluster (CC over first-pass edges) — sylph's winner table
+        arbitrates among genomes claimed present in the SAME sample
+        (contain.rs:410), and the sample analog is the duplicate cluster,
+        so unrelated clusters never steal a pair's shingles; (2) shingles
+        above the banding df limit never compete — the corpus analog of
+        removing repeat k-mers from genome sketches BEFORE the winner
+        table sees them (sketch.rs:595-600).
+
+        Scale shape: the winner table is shingle-keyed (same cardinality as
+        shingle_counts — one shuffle over item-shingle rows of first-pass
+        survivors only), and the rescore re-derives intersections for the
+        scored pair set (≪ candidates). No driver-side state."""
+        cfg = self.cfg
+        if not cfg.winner_rescore:
+            return scored
+        first = scored.filter(F.col("adj_sim") >= cfg.tau)
+        # item score = best first-pass similarity the item participates in
+        # (the AniResult.final_est_ani analog of the genome's result row)
+        item_score = (
+            first.select(F.col("id_a").alias("image_id"), "adj_sim")
+            .unionByName(first.select(F.col("id_b").alias("image_id"), "adj_sim"))
+            .groupBy("image_id")
+            .agg(F.max("adj_sim").alias("item_score"))
+        )
+        rare = counts.filter(
+            F.col("cnt") <= self._band_df_limit(n_items)
+        ).select("shingle")
+        # preliminary clusters = competition scope (first-pass edges only;
+        # nodes restricted to first-pass participants, a small table)
+        pre = connected_components(
+            item_score.select("image_id"), first.select("id_a", "id_b")
+        ).withColumnRenamed("cluster_id", "pre_cluster")
+        winner = (
+            sketches.join(item_score, "image_id")
+            .join(pre, "image_id")
+            .select(
+                "image_id",
+                "pre_cluster",
+                "item_score",
+                F.explode("shingles").alias("shingle"),
+            )
+            .join(rare, "shingle")  # repeat mask: boilerplate never competes
+            .groupBy("pre_cluster", "shingle")
+            .agg(
+                F.expr("max_by(image_id, struct(item_score, image_id))").alias(
+                    "win_id"
+                )
+            )
+        )
+        ex = (
+            self._pair_intersections(first.select("id_a", "id_b"), sketches)
+            .join(pre.withColumnRenamed("image_id", "id_a"), "id_a")
+            .select(
+                "id_a",
+                "id_b",
+                "pre_cluster",
+                "total_kmers",
+                F.explode("inter").alias("shingle"),
+            )
+        )
+        owned = ex.join(winner, ["pre_cluster", "shingle"], "left").withColumn(
+            "kept",
+            F.col("win_id").isNull()
+            | (F.col("win_id") == F.col("id_a"))
+            | (F.col("win_id") == F.col("id_b")),
+        )
+        lost = owned.groupBy("id_a", "id_b").agg(
+            F.sum((~F.col("kept")).cast("int")).cast("int").alias("kmers_lost")
+        )
+        with_counts = (
+            owned.filter("kept")
+            .join(counts, "shingle")
+            .select("id_a", "id_b", "total_kmers", "cnt")
+        )
+        hist = self._hist_from_counts(with_counts, []).join(lost, ["id_a", "id_b"])
+        # derep anti-filter (contain.rs:353-375): num_kmer_reassign must stay
+        # under ani_thresh^k · total — here tau^ani_k · total_kmers
+        hist = hist.filter(
+            F.col("kmers_lost")
+            < F.pow(F.lit(cfg.tau), F.lit(cfg.ani_k)) * F.col("total_kmers")
         )
         return hist.mapInPandas(
             udfs.make_score_hist_fn(self.cfg), schema=udfs.SCORE_SCHEMA
         )
 
-    def _stage_verified(self, scored: DataFrame, sketches: DataFrame) -> DataFrame:
+    def _stage_gated(self, scored: DataFrame, sketches: DataFrame) -> DataFrame:
+        """First-pass tau + the two score-independent confirmation gates
+        (SimHash hamming, suffix-array LCS on captions) — the north-rule
+        verification. These edges drive CLUSTERING; the winner rescore
+        refines attribution within them (see module docstring)."""
         cfg = self.cfg
         prof = sketches.select("image_id", "simhash", "caption")
         lcs_udf = F.pandas_udf(udfs.make_lcs_fn(), T.LongType())
@@ -305,28 +440,38 @@ class DedupPipeline:
                 )
             )
         )
-        return df.select(
-            "id_a",
-            "id_b",
-            "contain_count",
-            "total_kmers",
-            "naive_sim",
-            "adj_sim",
-            "adjust_status",
-            "lambda",
-            "median_cov",
-            "hamming",
-            "lcs",
+        return df.select("id_a", "id_b", "hamming", "lcs")
+
+    def _stage_verified(self, rescored: DataFrame, gated: DataFrame) -> DataFrame:
+        """Second-pass report table (contain.rs:637-645 re-filtered results):
+        winner-rescored pairs that still clear tau AND passed the gates."""
+        return rescored.filter(F.col("adj_sim") >= self.cfg.tau).join(
+            gated, ["id_a", "id_b"]
         )
 
-    def _stage_clusters(self, sketches: DataFrame, verified: DataFrame) -> DataFrame:
+    def _stage_clusters(self, sketches: DataFrame, gated: DataFrame) -> DataFrame:
         nodes = sketches.select("image_id")
-        return connected_components(nodes, verified.select("id_a", "id_b"))
+        return connected_components(nodes, gated.select("id_a", "id_b"))
 
-    def _stage_survivors(self, clusters: DataFrame) -> DataFrame:
+    def _stage_survivors(self, clusters: DataFrame, verified: DataFrame) -> DataFrame:
+        """One representative per cluster = argmax by mean verified
+        similarity (the winner-table argmax, contain.rs:410-459), ties and
+        singleton clusters falling back to the min image_id."""
+        contrib = verified.select(
+            F.col("id_a").alias("image_id"), "adj_sim"
+        ).unionByName(verified.select(F.col("id_b").alias("image_id"), "adj_sim"))
+        rep_score = contrib.groupBy("image_id").agg(
+            (F.sum("adj_sim") / F.count(F.lit(1))).alias("rep_score")
+        )
         return (
-            clusters.groupBy("cluster_id")
-            .agg(F.min("image_id").alias("image_id"))
+            clusters.join(rep_score, "image_id", "left")
+            .withColumn("rep_score", F.coalesce("rep_score", F.lit(0.0)))
+            .groupBy("cluster_id")
+            .agg(
+                F.expr(
+                    "min_by(image_id, struct(-rep_score, image_id))"
+                ).alias("image_id")
+            )
             .select("image_id", "cluster_id")
         )
 
@@ -356,16 +501,27 @@ class DedupPipeline:
         scored = ensure(
             "scored", lambda: self._stage_scored(candidates, sketches, counts)
         )
-        verified = ensure("verified", lambda: self._stage_verified(scored, sketches))
-        clusters = ensure(
-            "clusters", lambda: self._stage_clusters(sketches, verified)
+        gated = ensure("gated", lambda: self._stage_gated(scored, sketches))
+        rescored = ensure(
+            "rescored",
+            lambda: self._stage_rescored(scored, sketches, counts, n_items),
         )
-        survivors = ensure("survivors", lambda: self._stage_survivors(clusters))
+        verified = ensure(
+            "verified", lambda: self._stage_verified(rescored, gated)
+        )
+        clusters = ensure(
+            "clusters", lambda: self._stage_clusters(sketches, gated)
+        )
+        survivors = ensure(
+            "survivors", lambda: self._stage_survivors(clusters, verified)
+        )
         return {
             "sketches": sketches,
             "shingle_counts": counts,
             "candidates": candidates,
             "scored": scored,
+            "gated": gated,
+            "rescored": rescored,
             "verified": verified,
             "clusters": clusters,
             "survivors": survivors,
@@ -384,16 +540,22 @@ def run_volatile(
     # (the CC loop materializes the edge chain exactly once itself)
     sketches = p._stage_sketches(images).localCheckpoint()
     counts = p._stage_shingle_counts(sketches).localCheckpoint()  # 2 consumers
-    candidates = p._stage_candidates(sketches, counts, sketches.count())
-    scored = p._stage_scored(candidates, sketches, counts)
-    verified = p._stage_verified(scored, sketches)
-    clusters = p._stage_clusters(sketches, verified)
-    survivors = p._stage_survivors(clusters)
+    n_items = sketches.count()
+    candidates = p._stage_candidates(sketches, counts, n_items)
+    # scored feeds gated + rescored (item scores + pair re-derivation)
+    scored = p._stage_scored(candidates, sketches, counts).localCheckpoint()
+    gated = p._stage_gated(scored, sketches).localCheckpoint()  # 2 consumers
+    rescored = p._stage_rescored(scored, sketches, counts, n_items)
+    verified = p._stage_verified(rescored, gated).localCheckpoint()  # 2 consumers
+    clusters = p._stage_clusters(sketches, gated)
+    survivors = p._stage_survivors(clusters, verified)
     return {
         "sketches": sketches,
         "shingle_counts": counts,
         "candidates": candidates,
         "scored": scored,
+        "gated": gated,
+        "rescored": rescored,
         "verified": verified,
         "clusters": clusters,
         "survivors": survivors,

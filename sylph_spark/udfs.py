@@ -28,7 +28,8 @@ BAND_SCHEMA = "image_id string, band int, band_hash long"
 SCORE_SCHEMA = (
     "id_a string, id_b string, contain_count int, total_kmers int, "
     "naive_sim double, adj_sim double, adjust_status string, lambda double, "
-    "median_cov double"
+    "median_cov double, kmers_lost int, "
+    "ani_lo double, ani_hi double, lambda_lo double, lambda_hi double"
 )
 
 
@@ -231,12 +232,19 @@ def make_multi_band_fn(cfg: SketchConfig, rare_sorted_i64: np.ndarray):
 
 
 def make_score_hist_fn(cfg: SketchConfig):
-    """mapInPandas over pair rows (id_a, id_b, total_kmers, hist) where hist
-    is a list of {cnt, n} structs — the Arrow-batched fast path of the
-    E1/E6/E7 scoring chain (one Python call per batch, not per pair)."""
+    """mapInPandas over pair rows (id_a, id_b, total_kmers, hist[, kmers_lost])
+    where hist is a list of {cnt, n} structs — the Arrow-batched fast path of
+    the E1/E6/E7 scoring chain (one Python call per batch, not per pair).
+
+    ``kmers_lost`` (winner-table reassignment count, contain.rs:641) is
+    passed through when present (rescore pass), 0 otherwise. With
+    cfg.bootstrap_iters > 0 the seeded bootstrap CI (contain.rs:849-898)
+    is computed per pair; the CI columns are NaN when disabled."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nan = float("nan")
         for pdf in batches:
+            has_lost = "kmers_lost" in pdf.columns
             out = []
             for r in pdf.itertuples():
                 h = r.hist
@@ -252,6 +260,15 @@ def make_score_hist_fn(cfg: SketchConfig):
                 )
                 if res is None:
                     continue
+                ci = (None, None, None, None)
+                if cfg.bootstrap_iters > 0:
+                    ci = K.bootstrap_interval(
+                        res["full_covs"],
+                        cfg.ani_k,
+                        cfg.min_count_correct,
+                        iters=cfg.bootstrap_iters,
+                        seed=cfg.bootstrap_seed,
+                    )
                 out.append(
                     {
                         "id_a": r.id_a,
@@ -263,8 +280,13 @@ def make_score_hist_fn(cfg: SketchConfig):
                         "adjust_status": res["adjust_status"],
                         "lambda": res["lambda"]
                         if res["lambda"] is not None
-                        else float("nan"),
+                        else nan,
                         "median_cov": res["median_cov"],
+                        "kmers_lost": int(r.kmers_lost) if has_lost else 0,
+                        "ani_lo": ci[0] if ci[0] is not None else nan,
+                        "ani_hi": ci[1] if ci[1] is not None else nan,
+                        "lambda_lo": ci[2] if ci[2] is not None else nan,
+                        "lambda_hi": ci[3] if ci[3] is not None else nan,
                     }
                 )
             df = pd.DataFrame(
@@ -279,6 +301,11 @@ def make_score_hist_fn(cfg: SketchConfig):
                     "adjust_status",
                     "lambda",
                     "median_cov",
+                    "kmers_lost",
+                    "ani_lo",
+                    "ani_hi",
+                    "lambda_lo",
+                    "lambda_hi",
                 ],
             )
             yield df.astype(
@@ -289,6 +316,11 @@ def make_score_hist_fn(cfg: SketchConfig):
                     "adj_sim": "float64",
                     "lambda": "float64",
                     "median_cov": "float64",
+                    "kmers_lost": "int32",
+                    "ani_lo": "float64",
+                    "ani_hi": "float64",
+                    "lambda_lo": "float64",
+                    "lambda_hi": "float64",
                 }
             )
 

@@ -92,6 +92,24 @@ class TestPipelineVsOracle:
             assert got[k][3] == pytest.approx(exp[k][3])
             assert got[k][4] == exp[k][4]
 
+    def test_rescored_match(self, spark_result, oracle_result):
+        """Winner-table rescore parity: pair set, kmers_lost, and the
+        rescored similarity must match the numpy oracle exactly."""
+        _, out, _ = spark_result
+        got = {
+            (r["id_a"], r["id_b"]): (r["kmers_lost"], r["contain_count"], r["adj_sim"])
+            for r in out["rescored"].collect()
+        }
+        exp = {
+            (r.id_a, r.id_b): (r.kmers_lost, r.contain_count, r.adj_sim)
+            for r in oracle_result.rescored.itertuples()
+        }
+        assert set(got) == set(exp)
+        for k in exp:
+            assert got[k][0] == exp[k][0]
+            assert got[k][1] == exp[k][1]
+            assert got[k][2] == pytest.approx(exp[k][2])
+
     def test_verified_match(self, spark_result, oracle_result):
         _, out, _ = spark_result
         got = {(r["id_a"], r["id_b"]) for r in out["verified"].collect()}
