@@ -507,6 +507,25 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["clusters"]
 
 
+def _q_dedup_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winner-table rescored pair scores with kmers_lost + bootstrap CI
+    columns (contain.rs:410-459, 637-645, 849-898) on the fixture corpus."""
+    from sylph_spark import fixtures
+    from sylph_spark.config import SketchConfig
+    from sylph_spark.pipeline import images_df_from_pandas, run_volatile
+
+    images, _ = fixtures.generate_corpus(n_base=100, seed=42)
+    out = run_volatile(
+        spark,
+        images_df_from_pandas(spark, images),
+        SketchConfig(bootstrap_iters=100),
+    )
+    return out["rescored"].select(
+        "id_a", "id_b", "contain_count", "kmers_lost", "adj_sim",
+        "ani_lo", "ani_hi",
+    )
+
+
 def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sylph_spark import fixtures
     from sylph_spark.config import SketchConfig
@@ -642,6 +661,7 @@ SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_running_thin": _q_a6_running_thin,
     "dedup_clusters": _q_dedup_clusters,
     "dedup_survivors": _q_dedup_survivors,
+    "dedup_rescored": _q_dedup_rescored,
 }
 
 # Spark-side-callable queries that nevertheless HAVE an exact SQL oracle
