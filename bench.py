@@ -37,20 +37,23 @@ BENCH_QUERIES = [
 ]
 
 
-def _fixture_parquet(n_base: int, seed: int = 42, spark=None) -> str:
+def _fixture_parquet(n_base: int, seed: int = 42, spark=None, px: int = 64) -> str:
     """Generate (once) and cache the fixture corpus as parquet. With a live
-    session the distributed generator is used (32× faster at scale)."""
+    session the distributed generator is used (32× faster at scale).
+    ``px`` > 64 produces heavy lossy payloads (~100 KB at 256) for the
+    scaling-efficiency runs."""
+    suffix = "" if px == 64 else f"_px{px}"
     cache = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".bench_cache",
-        f"images_{n_base}_{seed}.parquet",
+        f"images_{n_base}_{seed}{suffix}.parquet",
     )
     if not os.path.exists(cache):
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         if spark is not None:
             from sylph_spark import fixtures_spark
 
-            fixtures_spark.write_corpus(spark, n_base, cache, seed)
+            fixtures_spark.write_corpus(spark, n_base, cache, seed, px=px)
         else:
             from sylph_spark import fixtures
 
@@ -85,6 +88,11 @@ def run_bench(sf_dir: str, cpus: int, n_base: int) -> dict:
         sf = 0.1
     qtimes: dict[str, float] = {}
     qs = E.queries()
+    # warm-up: a trivial aggregate through the same read path so the first
+    # TIMED query reflects its plan, not JVM/AQE/Arrow cold start
+    E._register(spark, sf_dir)
+    spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+    spark.sql("SELECT event_type, COUNT(*) c FROM events GROUP BY event_type").collect()
     for name in BENCH_QUERIES:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -124,7 +132,7 @@ spark.stop()
 """
 
 
-def run_scaling(n_base: int) -> None:
+def run_scaling(n_base: int, px: int = 64) -> None:
     """local[8] vs local[32] on the identical input → BENCH/BASELINE.md.
 
     Each parallelism level runs in its OWN process (cold JVM) with one
@@ -136,7 +144,7 @@ def run_scaling(n_base: int) -> None:
     from sylph_spark.session import build_spark
 
     gen_spark = build_spark("gen", master="local[32]", shuffle_partitions=64)
-    images_path = _fixture_parquet(n_base, spark=gen_spark)
+    images_path = _fixture_parquet(n_base, spark=gen_spark, px=px)
     gen_spark.stop()
     repo = os.path.dirname(os.path.abspath(__file__))
     results = {}
@@ -190,6 +198,6 @@ if __name__ == "__main__":
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_base = int(os.environ.get("SYLPH_BENCH_IMAGES", "20000"))
     if "--scaling" in sys.argv:
-        run_scaling(n_base)
+        run_scaling(n_base, px=int(os.environ.get("SYLPH_BENCH_IMG_PX", "64")))
     else:
         print(json.dumps(run_bench(sf_dir, cpus, n_base)))

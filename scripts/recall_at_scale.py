@@ -9,8 +9,9 @@ from sylph_spark.config import SketchConfig
 from sylph_spark.pipeline import run_volatile
 from sylph_spark.fixtures_spark import _plan
 
-def main(path=".bench_cache/images_big.parquet", n_base=300_000):
-    spark = build_spark("recall", master="local[32]", shuffle_partitions=64)
+def main(path=".bench_cache/images_big.parquet", n_base=300_000, cpus=32):
+    n_base, cpus = int(n_base), int(cpus)
+    spark = build_spark("recall", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
     images = spark.read.parquet(path)
     out = run_volatile(spark, images, SketchConfig())
     labels = {r["image_id"]: r["cluster_id"] for r in out["clusters"].collect()}
@@ -39,4 +40,4 @@ def main(path=".bench_cache/images_big.parquet", n_base=300_000):
     spark.stop()
 
 if __name__ == "__main__":
-    main(*sys.argv[1:2])
+    main(*sys.argv[1:4])

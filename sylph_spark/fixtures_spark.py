@@ -42,16 +42,16 @@ def _rng(seed: int, *streams: int) -> np.random.Generator:
     return np.random.default_rng(np.random.SeedSequence([seed, *streams]))
 
 
-def _base_content(seed: int, base_idx: int, size: int = 64):
+def _base_content(seed: int, base_idx: int, px: int = 64):
     rng = _rng(seed, 0, base_idx)
-    img = fixtures._make_image(rng, size)
+    img = fixtures._make_image(rng, px)
     caption = fixtures._make_caption(rng)
     fmt = fixtures.FMTS[int(rng.integers(len(fixtures.FMTS)))]
     return img, caption, fmt
 
 
-def _row_content(seed: int, kind: str, base_idx: int, variant: int):
-    img, caption, fmt = _base_content(seed, base_idx)
+def _row_content(seed: int, kind: str, base_idx: int, variant: int, px: int = 64):
+    img, caption, fmt = _base_content(seed, base_idx, px)
     if kind in ("base", "exact"):
         return img, caption, fmt
     rng = _rng(seed, 1, base_idx, variant)
@@ -83,9 +83,17 @@ def _plan(n_base: int) -> list[tuple[str, int]]:
 
 
 def generate_corpus_df(
-    spark: SparkSession, n_base: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_base: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    px: int = 64,
 ) -> DataFrame:
-    """Distributed corpus as a DataFrame in the canonical images schema."""
+    """Distributed corpus as a DataFrame in the canonical images schema.
+
+    ``px`` is the base image edge; 256 yields ~100 KB lossy payloads with
+    ~8× the 64-px decode+shingle cost — the compute regime of a real web
+    corpus (used for scaling-efficiency evidence)."""
     plan = _plan(n_base)
     plan_rows = [
         (i, kind, base_idx) for i, (kind, base_idx) in enumerate(plan)
@@ -102,7 +110,9 @@ def generate_corpus_df(
             bases = batch.column(2).to_pylist()
             ids, blobs, ws, hs, fmts_o, caps, phs = [], [], [], [], [], [], []
             for row_idx, kind, base_idx in zip(idxs, kinds, bases):
-                img, caption, fmt = _row_content(seed, kind, int(base_idx), row_idx)
+                img, caption, fmt = _row_content(
+                    seed, kind, int(base_idx), row_idx, px
+                )
                 ids.append(f"img{row_idx:010d}")
                 blobs.append(codecs.encode_image(img, fmt))
                 hs.append(img.shape[0])
@@ -127,8 +137,8 @@ def generate_corpus_df(
 
 
 def write_corpus(
-    spark: SparkSession, n_base: int, path: str, seed: int = 42
+    spark: SparkSession, n_base: int, path: str, seed: int = 42, px: int = 64
 ) -> int:
-    df = generate_corpus_df(spark, n_base, seed)
+    df = generate_corpus_df(spark, n_base, seed, px=px)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path).count()

@@ -31,8 +31,24 @@ def build_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Arrow batches must be sized in BYTES, not rows: at ~100 KB binary
+        # payloads, 4096-row batches mean ~0.5-1 GB buffered per in-flight
+        # task before Python sees a row (measured 11× sketch-stage slowdown
+        # from allocator/GC churn). 512 rows ≈ 50 MB worst-case per batch;
+        # our Python UDFs do per-row numpy work, so small batches cost ~0.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SYLPH_ARROW_BATCH_ROWS", "512"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # web-image tables carry ~100 KB binary payloads: the default
+        # 4096-row vectorized parquet batch would need ~0.5-1 GB of
+        # contiguous buffer PER TASK (OOMs the reader). 512 rows keeps scan
+        # batches ~50 MB while staying fully vectorized.
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SYLPH_PARQUET_BATCH_ROWS", "512"),
+        )
         .config("spark.driver.memory", os.environ.get("SYLPH_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
