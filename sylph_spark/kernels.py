@@ -196,13 +196,34 @@ def image_block_bytes(
     to global brightness scaling — the graft analog of sylph's canonical
     k-mer normalization. Returns one uint8 per block, row-major.
     """
+    diff = block_mean_diff(gray, block_px)
+    if diff is None:
+        return np.empty(0, dtype=np.uint8)
+    return quantize_block_diff(diff, q_shift, grid_offset)
+
+
+def block_mean_diff(gray: np.ndarray, block_px: int) -> np.ndarray | None:
+    """(block mean − image mean) matrix — the grid-independent heavy part
+    of image_block_bytes, factored out so the n_grids quantization loop
+    reuses ONE pass over the pixels (the kernels are DRAM-bound at scale;
+    this was 3× redundant traffic per image)."""
     h, w = gray.shape
     bh, bw = h // block_px, w // block_px
     if bh == 0 or bw == 0:
-        return np.empty(0, dtype=np.uint8)
-    trimmed = gray[: bh * block_px, : bw * block_px].astype(np.float64)
-    blocks = trimmed.reshape(bh, block_px, bw, block_px).mean(axis=(1, 3))
-    diff = blocks - trimmed.mean()
+        return None
+    trimmed = gray[: bh * block_px, : bw * block_px]
+    if trimmed.dtype not in (np.float32, np.float64):
+        trimmed = trimmed.astype(np.float32)
+    blocks = trimmed.reshape(bh, block_px, bw, block_px).mean(
+        axis=(1, 3), dtype=np.float64
+    )
+    return blocks - trimmed.mean(dtype=np.float64)
+
+
+def quantize_block_diff(
+    diff: np.ndarray, q_shift: int, grid_offset: float
+) -> np.ndarray:
+    """Per-grid quantization of the block-difference matrix (tiny: ~8×8)."""
     step = float(1 << q_shift)
     q = np.clip(np.floor(diff / step + grid_offset), -8, 7).astype(np.int64) + 8
     return q.astype(np.uint8).ravel()
@@ -234,8 +255,11 @@ def image_shingles(
     out = []
     offsets = [g / n_grids for g in range(n_grids)]
     bw = U64((gray.shape[1] // block_px) & 0x3F)  # grid width tag (mod 64)
+    diff = block_mean_diff(gray, block_px)  # ONE pixel pass for all grids
     for gi, grid_offset in enumerate(offsets):
-        bb = image_block_bytes(gray, block_px, q_shift, grid_offset)
+        if diff is None:
+            continue
+        bb = quantize_block_diff(diff, q_shift, grid_offset)
         if bb.size < k_block:
             continue
         packed = _pack_windows_u64(bb, k_block)
