@@ -152,6 +152,14 @@ spark.stop()
 """
 
 
+def _spin(n: int) -> float:
+    x = 1.0
+    for _ in range(n):
+        x = x * 1.0000001 + 0.1
+        x = x - int(x)
+    return x
+
+
 def _host_cpu_control(legs: tuple[int, int]) -> dict:
     """Pure-arithmetic control: how well does THIS host scale perfectly
     parallel CPU work between the two leg sizes? On a virtualized
@@ -161,20 +169,13 @@ def _host_cpu_control(legs: tuple[int, int]) -> dict:
     import multiprocessing as mp
     import time as _t
 
-    def spin(n):
-        x = 1.0
-        for _ in range(n):
-            x = x * 1.0000001 + 0.1
-            x = x - int(x)
-        return x
-
     N = 8_000_000
     out = {}
     for nproc in legs:
         with mp.Pool(nproc) as pool:
-            pool.map(spin, [N // 10] * nproc)
+            pool.map(_spin, [N // 10] * nproc)
             t0 = _t.time()
-            pool.map(spin, [N] * nproc)
+            pool.map(_spin, [N] * nproc)
             out[nproc] = nproc * N / (_t.time() - t0)
     lo, hi = legs
     return {
