@@ -39,16 +39,18 @@ def connected_components(
     O(E α(E)) with zero iterative shuffles. Above it, the distributed
     propagation loop runs. Both paths produce identical labels.
     """
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        return _driver_cc(nodes, edges, node_col, src_col, dst_col)
+    # ONE action decides the path AND fetches the edges: limit(k+1)
+    # early-terminates once the threshold is exceeded, instead of a full
+    # count() followed by a second collect() pass over the edge chain.
+    probe = edges.select(src_col, dst_col).limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        return _driver_cc(nodes, probe, node_col, src_col, dst_col)
     return _distributed_cc(nodes, edges, node_col, src_col, dst_col, max_iter)
 
 
 def _driver_cc(
-    nodes: DataFrame, edges: DataFrame, node_col: str, src_col: str, dst_col: str
+    nodes: DataFrame, pairs: list, node_col: str, src_col: str, dst_col: str
 ) -> DataFrame:
-    pairs = edges.select(src_col, dst_col).collect()
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:

@@ -127,11 +127,19 @@ class DedupPipeline:
         )
 
     def _stage_candidates(
-        self, sketches: DataFrame, counts: DataFrame, n_items: int
+        self,
+        sketches: DataFrame,
+        counts: DataFrame,
+        n_items: int,
+        n_vocab: int,
     ) -> DataFrame:
-        """``n_items`` (the sketch-table row count) is threaded in from the
-        stage manifest — re-counting here would be a full extra pass over
-        the sketches table per run."""
+        """``n_items`` (sketch rows) and ``n_vocab`` (distinct shingles) are
+        threaded in from the stage manifests — re-counting here would be a
+        full extra pass over each table per run. ``n_vocab`` gates the
+        broadcast-banding path up front: when the vocabulary exceeds the
+        broadcast cap, collecting cap+1 rows just to discard them wastes a
+        driver round-trip (serial time) at exactly the scale where it
+        hurts."""
         cfg = self.cfg
         # stop-shingle masking (corpus analog of sylph's repeat masking,
         # sketch.rs:590-600): drop shingles with document frequency above the
@@ -140,22 +148,18 @@ class DedupPipeline:
         # the full sets.
         limit = self._band_df_limit(n_items)
         rare = counts.filter(F.col("cnt") <= limit).select("shingle")
-        # ONE action decides broadcast-vs-join AND fetches the vocabulary:
-        # limit(max+1) early-terminates the scan once the cap is exceeded,
-        # and toArrow() lands the column as a numpy-backed buffer (no
-        # driver-side Python-object loop).
-        rare_tbl = rare.limit(cfg.broadcast_rare_max + 1).toArrow()
-        n_rare = rare_tbl.num_rows
         # three LSH families (source-aware banding): combined wide/shallow
         # for cross-modal partial similarity; per-modality narrow/deep for
         # near-identical-in-that-family pairs (see SketchConfig)
         fb, fr = cfg.family_bands, cfg.family_rows
-        if n_rare <= cfg.broadcast_rare_max:
+        if n_vocab <= cfg.broadcast_rare_max:
             # broadcast the rare vocabulary into one multi-family band UDF:
-            # no explode, no re-aggregation shuffle
+            # no explode, no re-aggregation shuffle. toArrow() lands the
+            # column as a numpy-backed buffer (no Python-object loop);
+            # |rare| <= n_vocab <= cap bounds the driver transfer.
             import numpy as np
 
-            rare_arr = np.sort(rare_tbl.column("shingle").to_numpy())
+            rare_arr = np.sort(rare.toArrow().column("shingle").to_numpy())
             bands = sketches.select(
                 "image_id", "img_shingles", "cap_shingles"
             ).mapInArrow(
@@ -493,10 +497,12 @@ class DedupPipeline:
         counts = ensure(
             "shingle_counts", lambda: self._stage_shingle_counts(sketches)
         )
-        # row count comes from the committed manifest — no re-count action
+        # row counts come from the committed manifests — no re-count actions
         n_items = cat.manifest("sketches").rows
+        n_vocab = cat.manifest("shingle_counts").rows
         candidates = ensure(
-            "candidates", lambda: self._stage_candidates(sketches, counts, n_items)
+            "candidates",
+            lambda: self._stage_candidates(sketches, counts, n_items, n_vocab),
         )
         scored = ensure(
             "scored", lambda: self._stage_scored(candidates, sketches, counts)
@@ -541,7 +547,7 @@ def run_volatile(
     sketches = p._stage_sketches(images).localCheckpoint()
     counts = p._stage_shingle_counts(sketches).localCheckpoint()  # 2 consumers
     n_items = sketches.count()
-    candidates = p._stage_candidates(sketches, counts, n_items)
+    candidates = p._stage_candidates(sketches, counts, n_items, counts.count())
     # scored feeds gated + rescored (item scores + pair re-derivation)
     scored = p._stage_scored(candidates, sketches, counts).localCheckpoint()
     gated = p._stage_gated(scored, sketches).localCheckpoint()  # 2 consumers
