@@ -135,15 +135,18 @@ spark = build_spark("scale{cpus}", master="local[{cpus}]", shuffle_partitions={p
 # 35s -> 29s -> 15s for the identical sketch stage); a long-running cluster
 # job runs compiled code, so that is the regime to measure. Both legs get
 # the same protocol.
+import os as _os
+max_warm = int(_os.environ.get("SYLPH_SCALE_MAX_WARM", "5"))
+n_meas = int(_os.environ.get("SYLPH_SCALE_MEASURED", "2"))
 prev = None
-for i in range(5):
+for i in range(max_warm):
     dt, n = bench.run_dedup(spark, {path!r})
     print(json.dumps({{"warmup": i, "sec": dt}}), file=sys.stderr)
     if prev is not None and dt > prev * 0.9:
         break
     prev = dt
 times = []
-for _ in range(2):
+for _ in range(n_meas):
     dt, n = bench.run_dedup(spark, {path!r})
     times.append(dt)
 dt = min(times)
