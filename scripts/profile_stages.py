@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sylph_spark.config import SketchConfig
 from sylph_spark.pipeline import DedupPipeline
-from sylph_spark.session import build_spark
+from sylph_spark.session import build_spark, heavy_payload_batches
 
 
 def main(path: str, cpus: str = "32", warm: str = "1") -> None:
@@ -35,16 +35,20 @@ def main(path: str, cpus: str = "32", warm: str = "1") -> None:
             t[name] = round(time.time() - t0, 2)
             return out
 
-        sketches = step(
-            "sketches", lambda: p._stage_sketches(images).localCheckpoint()
-        )
+        with heavy_payload_batches(spark):
+            sketches = step(
+                "sketches", lambda: p._stage_sketches(images).localCheckpoint()
+            )
         n_items = step("n_items(count)", lambda: sketches.count())
         counts = step(
             "counts", lambda: p._stage_shingle_counts(sketches).localCheckpoint()
         )
+        n_vocab = step("n_vocab(count)", lambda: counts.count())
         cands = step(
             "candidates",
-            lambda: p._stage_candidates(sketches, counts, n_items).localCheckpoint(),
+            lambda: p._stage_candidates(
+                sketches, counts, n_items, n_vocab
+            ).localCheckpoint(),
         )
         scored = step(
             "scored",

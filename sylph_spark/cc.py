@@ -39,12 +39,14 @@ def connected_components(
     O(E α(E)) with zero iterative shuffles. Above it, the distributed
     propagation loop runs. Both paths produce identical labels.
     """
-    # ONE action decides the path AND fetches the edges: limit(k+1)
-    # early-terminates once the threshold is exceeded, instead of a full
-    # count() followed by a second collect() pass over the edge chain.
-    probe = edges.select(src_col, dst_col).limit(driver_threshold + 1).collect()
-    if len(probe) <= driver_threshold:
-        return _driver_cc(nodes, probe, node_col, src_col, dst_col)
+    # Cheap path probe: limit(k+1).count() early-terminates once the
+    # threshold is exceeded WITHOUT materializing Row objects on the driver
+    # (collecting 2M+1 rows just to discard them is GB-scale transfer in the
+    # large-graph case). Only when the probe says "small" do we pay the
+    # second action to actually fetch the edges.
+    pairs = edges.select(src_col, dst_col)
+    if pairs.limit(driver_threshold + 1).count() <= driver_threshold:
+        return _driver_cc(nodes, pairs.collect(), node_col, src_col, dst_col)
     return _distributed_cc(nodes, edges, node_col, src_col, dst_col, max_iter)
 
 

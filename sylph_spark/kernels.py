@@ -604,16 +604,7 @@ def adjust_status(
     """High / Low / Lambda(λ) regime switch — contain.rs:692-713."""
     if median_cov > MEDIAN_ANI_THRESHOLD:
         return ("high", None)
-    if estimator == "ratio":
-        lam = ratio_lambda(full_covs, min_count_correct)
-    elif estimator == "mme":
-        lam = mme_lambda(full_covs)
-    elif estimator == "mle":
-        lam = mle_zip(full_covs, k)
-    elif estimator == "nb":
-        lam = binary_search_lambda(full_covs)
-    else:
-        raise ValueError(f"unknown estimator {estimator}")
+    lam = _lambda_estimate(full_covs, estimator, k, min_count_correct)
     if lam is None:
         return ("low", None)
     return ("lambda", lam)
@@ -676,14 +667,38 @@ def score_pair(
 # ---------------------------------------------------------------------------
 
 
+def _lambda_estimate(
+    full_covs: np.ndarray,
+    estimator: str,
+    k: float,
+    min_count_correct: float = DEFAULT_MIN_COUNT_CORRECT,
+) -> float | None:
+    """Dispatch to the configured λ estimator (the match arm the reference
+    runs both for the point estimate and inside the bootstrap loop)."""
+    if estimator == "ratio":
+        return ratio_lambda(full_covs, min_count_correct)
+    if estimator == "mme":
+        return mme_lambda(full_covs)
+    if estimator == "mle":
+        return mle_zip(full_covs, k)
+    if estimator == "nb":
+        return binary_search_lambda(full_covs)
+    raise ValueError(f"unknown estimator {estimator}")
+
+
 def bootstrap_interval(
     full_covs: np.ndarray,
     k: float,
     min_count_correct: float = DEFAULT_MIN_COUNT_CORRECT,
     iters: int = 100,
     seed: int = 7,
+    estimator: str = "ratio",
 ) -> tuple[float | None, float | None, float | None, float | None]:
-    """(ani_lo, ani_hi, lambda_lo, lambda_hi); None unless ≥50 successes."""
+    """(ani_lo, ani_hi, lambda_lo, lambda_hi); None unless ≥50 successes.
+
+    Resamples with the CONFIGURED estimator (contain.rs:866-877 bootstraps
+    whatever `--estimator` selected), so the CI brackets the same statistic
+    as the point estimate."""
     full_covs = np.asarray(full_covs, dtype=np.int64)
     n = full_covs.size
     if n == 0:
@@ -693,7 +708,7 @@ def bootstrap_interval(
     res_lambda: list[float] = []
     for _ in range(iters):
         rand_vec = full_covs[rng.integers(0, n, size=n)]
-        lam = ratio_lambda(rand_vec, min_count_correct)
+        lam = _lambda_estimate(rand_vec, estimator, k, min_count_correct)
         ani = ani_from_lambda(lam, k, rand_vec)
         if ani is not None and lam is not None:
             if not math.isnan(ani) and not math.isnan(lam):

@@ -46,6 +46,7 @@ from . import udfs
 from .cc import connected_components
 from .config import SketchConfig
 from .io.catalog import StageCatalog
+from .session import heavy_payload_batches
 
 def input_fingerprint(images: DataFrame) -> str:
     """Cheap identity of the input table for checkpoint validity.
@@ -53,9 +54,12 @@ def input_fingerprint(images: DataFrame) -> str:
     File-backed inputs (the production case — Iceberg/parquet snapshots)
     fingerprint by their sorted file list: zero data scan, and any new
     snapshot/compaction changes the set. Non-file inputs (test DataFrames)
-    fall back to an order-insensitive content probe over the id column only
-    (count + bit_xor of xxhash64 — one column-pruned pass, no overflow
-    under ANSI mode)."""
+    fall back to an order-insensitive CONTENT probe (count + bit_xor of a
+    row hash over id, payload length, caption and phash — one pass, no
+    overflow under ANSI mode): regenerated fixtures with the same ids but
+    different bytes/captions must invalidate the checkpoint, not revalidate
+    it. Payload identity is proxied by length(bytes) (hashing the full
+    binary would re-scan ~100 KB/row just for a fingerprint)."""
     import hashlib
     import json
 
@@ -65,7 +69,9 @@ def input_fingerprint(images: DataFrame) -> str:
     else:
         row = images.agg(
             F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(image_id))").alias("x"),
+            F.expr(
+                "bit_xor(xxhash64(image_id, length(bytes), caption, phash))"
+            ).alias("x"),
         ).collect()[0]
         token = f"{row['n']}:{row['x']}"
     return hashlib.sha256(token.encode()).hexdigest()[:16]
@@ -493,7 +499,11 @@ class DedupPipeline:
                 cat.write(builder(), name, h, extra={"input_fp": fp})
             return cat.read(name)
 
-        sketches = ensure("sketches", lambda: self._stage_sketches(images))
+        # only the sketch stage touches ~100 KB binary rows: scope the small
+        # batch confs to it so every later (small-row) stage keeps the
+        # generic batch sizes
+        with heavy_payload_batches(self.spark):
+            sketches = ensure("sketches", lambda: self._stage_sketches(images))
         counts = ensure(
             "shingle_counts", lambda: self._stage_shingle_counts(sketches)
         )
@@ -544,7 +554,8 @@ def run_volatile(
     # only sketches is consumed by 4 downstream stages — checkpoint it once;
     # everything else is single-consumer and stays lazily fused by Catalyst
     # (the CC loop materializes the edge chain exactly once itself)
-    sketches = p._stage_sketches(images).localCheckpoint()
+    with heavy_payload_batches(spark):  # image-bytes stage only
+        sketches = p._stage_sketches(images).localCheckpoint()
     counts = p._stage_shingle_counts(sketches).localCheckpoint()  # 2 consumers
     n_items = sketches.count()
     candidates = p._stage_candidates(sketches, counts, n_items, counts.count())

@@ -9,8 +9,45 @@ contain.rs:240-256); Arrow batching is the analog of its AVX2 batch kernels
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+# Stages that materialize ~100 KB binary image rows need SMALL row batches
+# (bytes, not rows, is what matters): at that payload, 4096-row vectorized
+# parquet batches need ~0.5-1 GB of contiguous buffer per task and 10000-row
+# Arrow batches buffer ~1 GB before Python sees a row (measured 11× sketch
+# slowdown from allocator/GC churn). 512 rows ≈ 50 MB worst-case per batch.
+# These settings are scoped (heavy_payload_batches) rather than session-wide:
+# applying them to small-row SQL scans costs 8× more batch dispatch per scan
+# (measured +48% on dd_minhash_sig / +28% on dd_ngram_jaccard in round 2).
+HEAVY_BATCH_CONFS = (
+    "spark.sql.execution.arrow.maxRecordsPerBatch",
+    "spark.sql.parquet.columnarReaderBatchSize",
+)
+
+
+@contextmanager
+def heavy_payload_batches(spark: SparkSession, rows: int | None = None):
+    """Temporarily cap parquet/Arrow batch sizes for heavy-binary-row stages;
+    restores the previous (generic small-row) values on exit. Runtime confs —
+    they take effect for any action executed inside the scope."""
+    rows = rows or int(os.environ.get("SYLPH_IMAGE_BATCH_ROWS", "512"))
+    old = {}
+    for k in HEAVY_BATCH_CONFS:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, str(rows))
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def build_spark(
@@ -31,23 +68,16 @@ def build_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batches must be sized in BYTES, not rows: at ~100 KB binary
-        # payloads, 4096-row batches mean ~0.5-1 GB buffered per in-flight
-        # task before Python sees a row (measured 11× sketch-stage slowdown
-        # from allocator/GC churn). 512 rows ≈ 50 MB worst-case per batch;
-        # our Python UDFs do per-row numpy work, so small batches cost ~0.
+        # generic small-row defaults; image-bytes stages override via
+        # heavy_payload_batches (see HEAVY_BATCH_CONFS above)
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("SYLPH_ARROW_BATCH_ROWS", "512"),
+            os.environ.get("SYLPH_ARROW_BATCH_ROWS", "10000"),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # web-image tables carry ~100 KB binary payloads: the default
-        # 4096-row vectorized parquet batch would need ~0.5-1 GB of
-        # contiguous buffer PER TASK (OOMs the reader). 512 rows keeps scan
-        # batches ~50 MB while staying fully vectorized.
         .config(
             "spark.sql.parquet.columnarReaderBatchSize",
-            os.environ.get("SYLPH_PARQUET_BATCH_ROWS", "512"),
+            os.environ.get("SYLPH_PARQUET_BATCH_ROWS", "4096"),
         )
         .config("spark.driver.memory", os.environ.get("SYLPH_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -20,6 +20,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from .. import udfs
 from ..config import SketchConfig
+from ..session import heavy_payload_batches
 from ..sources.images import IMAGES_SCHEMA
 
 
@@ -54,4 +55,7 @@ def incremental_sketch_stream(
     )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    # the stream scans ~100 KB binary rows: capture the small-batch confs at
+    # query start (streaming plans snapshot the session conf)
+    with heavy_payload_batches(spark):
+        return writer.start()

@@ -268,6 +268,7 @@ def make_score_hist_fn(cfg: SketchConfig):
                         cfg.min_count_correct,
                         iters=cfg.bootstrap_iters,
                         seed=cfg.bootstrap_seed,
+                        estimator=cfg.estimator,
                     )
                 out.append(
                     {
