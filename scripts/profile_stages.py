@@ -50,9 +50,14 @@ def main(path: str, cpus: str = "32", warm: str = "1") -> None:
                 sketches, counts, n_items, n_vocab
             ).localCheckpoint(),
         )
+        pairsh = step(
+            "pair_shingles",
+            lambda: p._stage_pair_shingles(
+                cands, sketches, counts
+            ).localCheckpoint(),
+        )
         scored = step(
-            "scored",
-            lambda: p._stage_scored(cands, sketches, counts).localCheckpoint(),
+            "scored", lambda: p._stage_scored(pairsh).localCheckpoint()
         )
         gated = step(
             "gated", lambda: p._stage_gated(scored, sketches).localCheckpoint()
@@ -60,7 +65,7 @@ def main(path: str, cpus: str = "32", warm: str = "1") -> None:
         rescored = step(
             "rescored",
             lambda: p._stage_rescored(
-                scored, sketches, counts, n_items
+                scored, pairsh, sketches, counts, n_items
             ).localCheckpoint(),
         )
         verified = step(

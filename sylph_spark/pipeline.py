@@ -7,12 +7,13 @@ config hash):
   1. sketches       images → per-item shingle sets + SimHash  (sketch.rs:276-475 analog)
   2. shingle_counts corpus-wide shingle multiplicities        (A1, sketch.rs:690-731)
   3. candidates     MinHash/LSH banding → candidate pairs     (replaces all-pairs contain.rs:266-292)
-  4. scored         corrected-containment scoring             (J1+E1/E6/E7, contain.rs:601-745)
-  5. gated          tau + SimHash hamming + suffix-array LCS  (north-rule verification; cluster edges)
-  6. rescored       winner-table shingle reassignment + derep (contain.rs:410-459,637-645,353-375)
-  7. verified       rescored ∩ gated — the report table       (second-pass results, contain.rs:637-645)
-  8. clusters       iterative connected components over GATED edges
-  9. survivors      argmax representative per cluster         (winner argmax, contain.rs:410-459)
+  4. pair_shingles  pair → intersecting shingles + corpus multiplicities (J1, contain.rs:632-652)
+  5. scored         corrected-containment scoring             (E1/E6/E7, contain.rs:601-745)
+  6. gated          tau + SimHash hamming + suffix-array LCS  (north-rule verification; cluster edges)
+  7. rescored       winner-table shingle reassignment + derep (contain.rs:410-459,637-645,353-375)
+  8. verified       rescored ∩ gated — the report table       (second-pass results, contain.rs:637-645)
+  9. clusters       iterative connected components over GATED edges
+ 10. survivors      argmax representative per cluster         (winner argmax, contain.rs:410-459)
 
 Clustering uses first-pass gated edges, not rescored ones: sylph's winner
 pass reattributes k-mers WITHIN one sample's result set — it refines
@@ -81,6 +82,7 @@ STAGES = [
     "sketches",
     "shingle_counts",
     "candidates",
+    "pair_shingles",
     "scored",
     "gated",
     "rescored",
@@ -191,50 +193,53 @@ class DedupPipeline:
                     family_bands("cap_shingles", cfg.num_bands + fb, fb, fr)
                 )
             )
-        w_rank = (
-            "row_number() over (partition by band, band_hash order by image_id) - 1"
+        # Bucketize in ONE hash aggregate (no window: the previous
+        # row_number/count-over pair forced a full sort-shuffle of the band
+        # rows and recomputed it for both join sides). sort_array makes the
+        # bucket order deterministic regardless of task scheduling.
+        chunk = cfg.pair_chunk
+        buckets = (
+            bands.groupBy("band", "band_hash")
+            .agg(F.sort_array(F.collect_list("image_id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .withColumn("nc", F.ceil(F.size("ids") / chunk).cast("int"))
         )
-        ranked = (
-            bands.withColumn("r", F.expr(w_rank))
-            .withColumn(
-                "bsize",
-                F.expr("count(*) over (partition by band, band_hash)"),
-            )
-            .filter(F.col("bsize") >= 2)
-            .withColumn("chunk", (F.col("r") / cfg.pair_chunk).cast("int"))
-            .withColumn(
-                "nchunks", F.ceil(F.col("bsize") / cfg.pair_chunk).cast("int")
-            )
+        # chunked pair generation (salted-key skew mitigation, north rule):
+        # one row per (ci <= cj) chunk pair carrying only the two id slices,
+        # so a bucket of size s becomes ~ceil(s/chunk)² bounded work items
+        chunks = buckets.select(
+            "ids",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, nc - 1), ci -> "
+                    "transform(sequence(ci, nc - 1), cj -> "
+                    "named_struct('ci', ci, 'cj', cj))))"
+                )
+            ).alias("cc"),
+        ).select(
+            F.slice("ids", F.col("cc.ci") * chunk + 1, chunk).alias("ids_i"),
+            F.slice("ids", F.col("cc.cj") * chunk + 1, chunk).alias("ids_j"),
+            (F.col("cc.ci") == F.col("cc.cj")).alias("diag"),
         )
-        # chunked pair generation: row in chunk c serves as the i-side for
-        # tasks (c, j>=c) and as the j-side for tasks (i<=c, c); join on the
-        # task key spreads a hot bucket across ~(bsize/chunk)² tasks.
-        left = ranked.select(
-            "band",
-            "band_hash",
-            F.col("image_id").alias("id_i"),
-            F.col("r").alias("r_i"),
-            F.col("chunk").alias("ci"),
-            F.explode(F.sequence(F.col("chunk"), F.col("nchunks") - 1)).alias("cj"),
+        # the explode above happens inside the bucket's own partition: spread
+        # the quadratic in-task pair generation of a hot bucket across the
+        # cluster by round-robin shuffling the (small) chunk rows first
+        chunks = chunks.repartition(
+            self.spark.sparkContext.defaultParallelism * 2
         )
-        right = ranked.select(
-            "band",
-            "band_hash",
-            F.col("image_id").alias("id_j"),
-            F.col("r").alias("r_j"),
-            F.col("chunk").alias("cj"),
-            F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("ci"),
+        # ids are bucket-sorted and chunks are contiguous ranges: off-diagonal
+        # (ci < cj) pairs are ordered by construction; diagonal chunks pair
+        # each element with its strict successors only
+        pair_expr = (
+            "explode(flatten(transform(ids_i, (x, i) -> transform("
+            "CASE WHEN diag THEN slice(ids_j, i + 2, size(ids_j)) ELSE ids_j END, "
+            "y -> named_struct('id_a', x, 'id_b', y)))))"
         )
-        pairs = (
-            left.join(right, ["band", "band_hash", "ci", "cj"])
-            .filter(F.col("r_i") < F.col("r_j"))
-            .select(
-                F.least("id_i", "id_j").alias("id_a"),
-                F.greatest("id_i", "id_j").alias("id_b"),
-            )
+        return (
+            chunks.select(F.expr(pair_expr).alias("p"))
+            .select("p.id_a", "p.id_b")
             .distinct()
         )
-        return pairs
 
     def _pair_intersections(self, pairs: DataFrame, sketches: DataFrame) -> DataFrame:
         """(id_a, id_b) → (id_a, id_b, total_kmers, inter) by joining the
@@ -268,24 +273,15 @@ class DedupPipeline:
             )
         )
 
-    @staticmethod
-    def _hist_from_counts(with_counts: DataFrame, extra_cols: list[str]) -> DataFrame:
-        """Compress each pair's coverage vector to a (cnt → n) histogram
-        JVM-side, then score whole Arrow batches of pairs in one Python
-        call — per-group applyInPandas pays ~ms/group, this pays ~µs/pair."""
-        keys = ["id_a", "id_b", "total_kmers", *extra_cols]
-        return (
-            with_counts.groupBy(*keys, "cnt")
-            .agg(F.count(F.lit(1)).cast("int").alias("n"))
-            .groupBy(*keys)
-            .agg(F.collect_list(F.struct("cnt", "n")).alias("hist"))
-        )
-
-    def _stage_scored(
+    def _stage_pair_shingles(
         self, candidates: DataFrame, sketches: DataFrame, counts: DataFrame
     ) -> DataFrame:
-        # The intersection only is exploded, and the (small) counts table
-        # joins in — broadcast when under the AQE threshold.
+        """(id_a, id_b) → (id_a, id_b, total_kmers, inter_cnt) where
+        inter_cnt pairs every intersecting shingle with its corpus
+        multiplicity. Materialized ONCE and consumed by BOTH scoring passes:
+        the round-2 plan re-derived the pair intersections in the rescore
+        stage (two extra sketch joins + an explode + a counts join that
+        _stage_scored had already paid)."""
         cand = self._pair_intersections(candidates, sketches).filter(
             # early prefilter on raw intersection size (min-ANI analog,
             # contain.rs:746-764) before exploding anything
@@ -295,17 +291,29 @@ class DedupPipeline:
         inter = cand.select(
             "id_a", "id_b", "total_kmers", F.explode("inter").alias("shingle")
         )
-        with_counts = inter.join(counts, "shingle").select(
-            "id_a", "id_b", "total_kmers", "cnt"
+        # the (small) counts table joins in — broadcast under the AQE
+        # threshold
+        return (
+            inter.join(counts, "shingle")
+            .groupBy("id_a", "id_b", "total_kmers")
+            .agg(F.collect_list(F.struct("shingle", "cnt")).alias("inter_cnt"))
         )
-        hist = self._hist_from_counts(with_counts, [])
-        return hist.mapInPandas(
-            udfs.make_score_hist_fn(self.cfg), schema=udfs.SCORE_SCHEMA
+
+    def _stage_scored(self, pair_shingles: DataFrame) -> DataFrame:
+        covs = pair_shingles.select(
+            "id_a",
+            "id_b",
+            "total_kmers",
+            F.expr("transform(inter_cnt, e -> e.cnt)").alias("covs"),
+        )
+        return covs.mapInArrow(
+            udfs.make_score_arrow_fn(self.cfg), schema=udfs.SCORE_SCHEMA
         )
 
     def _stage_rescored(
         self,
         scored: DataFrame,
+        pair_shingles: DataFrame,
         sketches: DataFrame,
         counts: DataFrame,
         n_items: int,
@@ -334,8 +342,9 @@ class DedupPipeline:
 
         Scale shape: the winner table is shingle-keyed (same cardinality as
         shingle_counts — one shuffle over item-shingle rows of first-pass
-        survivors only), and the rescore re-derives intersections for the
-        scored pair set (≪ candidates). No driver-side state."""
+        survivors only), and the rescore reads the pair intersections (with
+        multiplicities) straight from the materialized pair_shingles table
+        for the first-pass pair set (≪ candidates). No driver-side state."""
         cfg = self.cfg
         if not cfg.winner_rescore:
             return scored
@@ -373,15 +382,26 @@ class DedupPipeline:
                 )
             )
         )
+        # pair intersections come straight from the materialized
+        # pair_shingles table (multiplicities included) — no sketch joins,
+        # no array_intersect, no counts join in this pass
         ex = (
-            self._pair_intersections(first.select("id_a", "id_b"), sketches)
+            pair_shingles.join(first.select("id_a", "id_b"), ["id_a", "id_b"])
             .join(pre.withColumnRenamed("image_id", "id_a"), "id_a")
             .select(
                 "id_a",
                 "id_b",
                 "pre_cluster",
                 "total_kmers",
-                F.explode("inter").alias("shingle"),
+                F.explode("inter_cnt").alias("e"),
+            )
+            .select(
+                "id_a",
+                "id_b",
+                "pre_cluster",
+                "total_kmers",
+                F.col("e.shingle").alias("shingle"),
+                F.col("e.cnt").alias("cnt"),
             )
         )
         owned = ex.join(winner, ["pre_cluster", "shingle"], "left").withColumn(
@@ -390,23 +410,20 @@ class DedupPipeline:
             | (F.col("win_id") == F.col("id_a"))
             | (F.col("win_id") == F.col("id_b")),
         )
-        lost = owned.groupBy("id_a", "id_b").agg(
-            F.sum((~F.col("kept")).cast("int")).cast("int").alias("kmers_lost")
+        # ONE aggregation yields both the surviving coverage vector
+        # (collect_list skips the nulled-out lost shingles) and kmers_lost
+        res = owned.groupBy("id_a", "id_b", "total_kmers").agg(
+            F.collect_list(F.when(F.col("kept"), F.col("cnt"))).alias("covs"),
+            F.sum((~F.col("kept")).cast("int")).cast("int").alias("kmers_lost"),
         )
-        with_counts = (
-            owned.filter("kept")
-            .join(counts, "shingle")
-            .select("id_a", "id_b", "total_kmers", "cnt")
-        )
-        hist = self._hist_from_counts(with_counts, []).join(lost, ["id_a", "id_b"])
         # derep anti-filter (contain.rs:353-375): num_kmer_reassign must stay
         # under ani_thresh^k · total — here tau^ani_k · total_kmers
-        hist = hist.filter(
+        res = res.filter(
             F.col("kmers_lost")
             < F.pow(F.lit(cfg.tau), F.lit(cfg.ani_k)) * F.col("total_kmers")
         )
-        return hist.mapInPandas(
-            udfs.make_score_hist_fn(self.cfg), schema=udfs.SCORE_SCHEMA
+        return res.mapInArrow(
+            udfs.make_score_arrow_fn(self.cfg), schema=udfs.SCORE_SCHEMA
         )
 
     def _stage_gated(self, scored: DataFrame, sketches: DataFrame) -> DataFrame:
@@ -514,13 +531,17 @@ class DedupPipeline:
             "candidates",
             lambda: self._stage_candidates(sketches, counts, n_items, n_vocab),
         )
-        scored = ensure(
-            "scored", lambda: self._stage_scored(candidates, sketches, counts)
+        pair_shingles = ensure(
+            "pair_shingles",
+            lambda: self._stage_pair_shingles(candidates, sketches, counts),
         )
+        scored = ensure("scored", lambda: self._stage_scored(pair_shingles))
         gated = ensure("gated", lambda: self._stage_gated(scored, sketches))
         rescored = ensure(
             "rescored",
-            lambda: self._stage_rescored(scored, sketches, counts, n_items),
+            lambda: self._stage_rescored(
+                scored, pair_shingles, sketches, counts, n_items
+            ),
         )
         verified = ensure(
             "verified", lambda: self._stage_verified(rescored, gated)
@@ -535,6 +556,7 @@ class DedupPipeline:
             "sketches": sketches,
             "shingle_counts": counts,
             "candidates": candidates,
+            "pair_shingles": pair_shingles,
             "scored": scored,
             "gated": gated,
             "rescored": rescored,
@@ -559,10 +581,14 @@ def run_volatile(
     counts = p._stage_shingle_counts(sketches).localCheckpoint()  # 2 consumers
     n_items = sketches.count()
     candidates = p._stage_candidates(sketches, counts, n_items, counts.count())
-    # scored feeds gated + rescored (item scores + pair re-derivation)
-    scored = p._stage_scored(candidates, sketches, counts).localCheckpoint()
+    # pair_shingles feeds scored + rescored (both scoring passes)
+    pair_shingles = p._stage_pair_shingles(
+        candidates, sketches, counts
+    ).localCheckpoint()
+    # scored feeds gated + rescored (item scores)
+    scored = p._stage_scored(pair_shingles).localCheckpoint()
     gated = p._stage_gated(scored, sketches).localCheckpoint()  # 2 consumers
-    rescored = p._stage_rescored(scored, sketches, counts, n_items)
+    rescored = p._stage_rescored(scored, pair_shingles, sketches, counts, n_items)
     verified = p._stage_verified(rescored, gated).localCheckpoint()  # 2 consumers
     clusters = p._stage_clusters(sketches, gated)
     survivors = p._stage_survivors(clusters, verified)
@@ -570,6 +596,7 @@ def run_volatile(
         "sketches": sketches,
         "shingle_counts": counts,
         "candidates": candidates,
+        "pair_shingles": pair_shingles,
         "scored": scored,
         "gated": gated,
         "rescored": rescored,

@@ -231,99 +231,253 @@ def make_multi_band_fn(cfg: SketchConfig, rare_sorted_i64: np.ndarray):
     return fn
 
 
-def make_score_hist_fn(cfg: SketchConfig):
-    """mapInPandas over pair rows (id_a, id_b, total_kmers, hist[, kmers_lost])
-    where hist is a list of {cnt, n} structs — the Arrow-batched fast path of
-    the E1/E6/E7 scoring chain (one Python call per batch, not per pair).
+SCORE_PA_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.string()),
+        ("id_b", pa.string()),
+        ("contain_count", pa.int32()),
+        ("total_kmers", pa.int32()),
+        ("naive_sim", pa.float64()),
+        ("adj_sim", pa.float64()),
+        ("adjust_status", pa.string()),
+        ("lambda", pa.float64()),
+        ("median_cov", pa.float64()),
+        ("kmers_lost", pa.int32()),
+        ("ani_lo", pa.float64()),
+        ("ani_hi", pa.float64()),
+        ("lambda_lo", pa.float64()),
+        ("lambda_hi", pa.float64()),
+    ]
+)
 
-    ``kmers_lost`` (winner-table reassignment count, contain.rs:641) is
-    passed through when present (rescore pass), 0 otherwise. With
-    cfg.bootstrap_iters > 0 the seeded bootstrap CI (contain.rs:849-898)
-    is computed per pair; the CI columns are NaN when disabled."""
+_TAIL_THR_CACHE: dict[float, float] = {}
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        nan = float("nan")
-        for pdf in batches:
-            has_lost = "kmers_lost" in pdf.columns
-            out = []
-            for r in pdf.itertuples():
-                h = r.hist
-                cnts = np.array([e["cnt"] for e in h], dtype=np.int64)
-                ns = np.array([e["n"] for e in h], dtype=np.int64)
-                covs = np.repeat(cnts, ns)
-                res = K.score_pair(
-                    covs,
-                    int(r.total_kmers),
-                    cfg.ani_k,
-                    cfg.min_count_correct,
-                    cfg.estimator,
-                )
-                if res is None:
-                    continue
-                ci = (None, None, None, None)
-                if cfg.bootstrap_iters > 0:
-                    ci = K.bootstrap_interval(
-                        res["full_covs"],
-                        cfg.ani_k,
-                        cfg.min_count_correct,
-                        iters=cfg.bootstrap_iters,
-                        seed=cfg.bootstrap_seed,
-                        estimator=cfg.estimator,
-                    )
-                out.append(
-                    {
-                        "id_a": r.id_a,
-                        "id_b": r.id_b,
-                        "contain_count": res["contain_count"],
-                        "total_kmers": res["total_kmers"],
-                        "naive_sim": res["naive_ani"],
-                        "adj_sim": res["final_est_ani"],
-                        "adjust_status": res["adjust_status"],
-                        "lambda": res["lambda"]
-                        if res["lambda"] is not None
-                        else nan,
-                        "median_cov": res["median_cov"],
-                        "kmers_lost": int(r.kmers_lost) if has_lost else 0,
-                        "ani_lo": ci[0] if ci[0] is not None else nan,
-                        "ani_hi": ci[1] if ci[1] is not None else nan,
-                        "lambda_lo": ci[2] if ci[2] is not None else nan,
-                        "lambda_hi": ci[3] if ci[3] is not None else nan,
-                    }
-                )
-            df = pd.DataFrame(
-                out,
-                columns=[
-                    "id_a",
-                    "id_b",
-                    "contain_count",
-                    "total_kmers",
-                    "naive_sim",
-                    "adj_sim",
-                    "adjust_status",
-                    "lambda",
-                    "median_cov",
-                    "kmers_lost",
-                    "ani_lo",
-                    "ani_hi",
-                    "lambda_lo",
-                    "lambda_hi",
-                ],
+
+def _tail_threshold(m: float) -> float:
+    """max_cov for the Poisson tail cut at integer median m (< 30): the
+    largest integer v with poisson_cdf(v, m) < CUTOFF_PVALUE. Equivalent to
+    the reference's walk over distinct PRESENT values ≥ covs[len/2]
+    (contain.rs:664-678): the CDF is monotone in v, the walk's first value
+    is the median itself (cdf(m, m) ≈ 0.5, always passes), and any present
+    value in (max_cov_present, v_thr] would itself have passed — so
+    "≤ largest passing present value" ≡ "≤ v_thr" on the present multiset."""
+    got = _TAIL_THR_CACHE.get(m)
+    if got is None:
+        v = int(m)
+        while K.poisson_cdf(float(v + 1), m) < K.CUTOFF_PVALUE:
+            v += 1
+        got = _TAIL_THR_CACHE[m] = float(v)
+    return got
+
+
+def _score_batch_fast(batch: pa.RecordBatch, cfg: SketchConfig, has_lost: bool):
+    """Whole-batch numpy scoring (estimator='ratio', no bootstrap): one
+    lexsort + segment reductions replace the per-pair score_pair loop —
+    the serial-Python hot path at 10⁹ scored pairs."""
+    idx = batch.schema.get_field_index
+    covs_arr = batch.column(idx("covs"))
+    # ListArray offsets are contiguous by construction (list i spans
+    # values[offsets[i]:offsets[i+1]]); values may carry a prefix before
+    # offsets[0] when the array is a slice, handled below
+    offsets = covs_arr.offsets.to_numpy().astype(np.int64)
+    n = batch.num_rows
+    cc = np.diff(offsets)
+    flat = covs_arr.values.to_numpy().astype(np.int64)
+    vals0 = flat[offsets[0] : offsets[-1]] if n else np.empty(0, np.int64)
+    total = batch.column(idx("total_kmers")).to_numpy().astype(np.int64)
+    lost = (
+        batch.column(idx("kmers_lost")).to_numpy().astype(np.int64)
+        if has_lost
+        else np.zeros(n, dtype=np.int64)
+    )
+    inv_k = 1.0 / cfg.ani_k
+    mcc = cfg.min_count_correct
+
+    pidx = np.repeat(np.arange(n), cc)
+    # per-pair ascending sort (primary key pidx is already non-decreasing,
+    # so lexsort only reorders within each pair's segment)
+    svals = vals0[np.lexsort((vals0, pidx))]
+    seg_start = np.concatenate([[0], np.cumsum(cc)])[:-1]
+
+    keep = cc > 0  # empty coverage → score_pair None → row dropped
+    med = np.zeros(n, dtype=np.int64)
+    med[keep] = svals[(seg_start + cc // 2)[keep]]
+
+    # Poisson tail cut (contain.rs:661-690): per-pair threshold from the
+    # integer median — medians repeat heavily across pairs, so the walk runs
+    # once per distinct median (cached process-wide)
+    thr = np.full(n, np.inf)
+    walk = keep & (med < 30)
+    for mm in np.unique(med[walk]):
+        thr[walk & (med == mm)] = _tail_threshold(float(mm))
+    kept_el = svals <= thr[pidx]
+    kept_cnt = np.bincount(pidx[kept_el], minlength=n).astype(np.int64)
+    full_size = total - cc + kept_cnt
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        naive = (cc / total) ** inv_k
+
+    # ratio_lambda (inference.rs:207-242) over the kept multiset, all pairs
+    # at once: value-runs within each pair's sorted segment, modal run by
+    # (count, value) ascending lexsort → last run per pair
+    kvals = svals[kept_el]
+    kpidx = pidx[kept_el]
+    if kvals.size:
+        newrun = np.ones(kvals.size, dtype=bool)
+        newrun[1:] = (kpidx[1:] != kpidx[:-1]) | (kvals[1:] != kvals[:-1])
+        run_starts = np.flatnonzero(newrun)
+        run_pair = kpidx[run_starts]
+        run_val = kvals[run_starts]
+        run_cnt = np.diff(np.append(run_starts, kvals.size))
+        n_runs = np.bincount(run_pair, minlength=n)
+        ord2 = np.lexsort((run_val, run_cnt, run_pair))
+        rp_sorted = run_pair[ord2]
+        last_mask = np.ones(rp_sorted.size, dtype=bool)
+        last_mask[:-1] = rp_sorted[1:] != rp_sorted[:-1]
+        mode_run = np.full(n, -1, dtype=np.int64)
+        mode_run[rp_sorted[last_mask]] = ord2[last_mask]
+    else:
+        run_pair = run_val = run_cnt = np.empty(0, np.int64)
+        n_runs = np.zeros(n, dtype=np.int64)
+        mode_run = np.full(n, -1, dtype=np.int64)
+
+    high = keep & (med.astype(np.float64) > K.MEDIAN_ANI_THRESHOLD)
+    eligible = (
+        keep
+        & ~high
+        & (kept_cnt >= K.SAMPLE_SIZE_CUTOFF)
+        & (n_runs >= 2)
+        & (mode_run >= 0)
+    )
+    lam = np.full(n, np.nan)
+    ei = np.flatnonzero(eligible)
+    if ei.size:
+        mr = mode_run[ei]
+        nxt = mr + 1
+        nr_total = run_pair.size
+        nxt_c = np.minimum(nxt, nr_total - 1)
+        ok_next = (
+            (nxt < nr_total)
+            & (run_pair[nxt_c] == run_pair[mr])
+            & (run_val[nxt_c] == run_val[mr] + 1)
+        )
+        cnt_mode = run_cnt[mr].astype(np.float64)
+        cnt_p1 = run_cnt[nxt_c].astype(np.float64)
+        ok = ok_next & (cnt_mode >= mcc) & (cnt_p1 >= mcc)
+        lam_e = np.where(ok, cnt_p1 / cnt_mode * (run_val[mr] + 1), np.nan)
+        lam[ei] = lam_e
+    has_lam = ~np.isnan(lam)
+
+    # zero-truncation correction (contain.rs:817-847) where λ exists
+    adj = naive.copy()
+    li = np.flatnonzero(has_lam)
+    if li.size:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            adj_index = (
+                kept_cnt[li] / (1.0 - np.exp(-lam[li])) / full_size[li]
             )
-            yield df.astype(
-                {
-                    "contain_count": "int32",
-                    "total_kmers": "int32",
-                    "naive_sim": "float64",
-                    "adj_sim": "float64",
-                    "lambda": "float64",
-                    "median_cov": "float64",
-                    "kmers_lost": "int32",
-                    "ani_lo": "float64",
-                    "ani_hi": "float64",
-                    "lambda_lo": "float64",
-                    "lambda_hi": "float64",
-                }
+            ani = adj_index ** inv_k
+        bad = np.isnan(ani) | (ani < 0.0)
+        adj[li] = np.where(bad, naive[li], ani)
+
+    status = np.where(high, "high", np.where(has_lam, "lambda", "low"))
+
+    def fcol(arr):
+        return pa.array(np.asarray(arr)[keep])
+
+    ka = pa.array(keep)
+    nan_col = pa.array(np.full(int(keep.sum()), np.nan))
+    return pa.RecordBatch.from_arrays(
+        [
+            batch.column(idx("id_a")).filter(ka),
+            batch.column(idx("id_b")).filter(ka),
+            fcol(cc.astype(np.int32)),
+            fcol(total.astype(np.int32)),
+            fcol(naive),
+            fcol(adj),
+            fcol(status),
+            fcol(lam),
+            fcol(med.astype(np.float64)),
+            fcol(lost.astype(np.int32)),
+            nan_col,
+            nan_col,
+            nan_col,
+            nan_col,
+        ],
+        schema=SCORE_PA_SCHEMA,
+    )
+
+
+def _score_batch_slow(batch: pa.RecordBatch, cfg: SketchConfig, has_lost: bool):
+    """Per-pair loop over kernels.score_pair — the general path (mme/mle/nb
+    estimators, bootstrap CIs) and the cross-check reference for the fast
+    path (tests assert fast ≡ slow on identical batches)."""
+    nan = float("nan")
+    idx = batch.schema.get_field_index
+    ids_a = batch.column(idx("id_a")).to_pylist()
+    ids_b = batch.column(idx("id_b")).to_pylist()
+    covs_l = batch.column(idx("covs")).to_pylist()
+    total = batch.column(idx("total_kmers")).to_pylist()
+    lost = batch.column(idx("kmers_lost")).to_pylist() if has_lost else None
+    cols: dict[str, list] = {f.name: [] for f in SCORE_PA_SCHEMA}
+    for i in range(batch.num_rows):
+        covs = np.asarray(covs_l[i], dtype=np.int64)
+        res = K.score_pair(
+            covs, int(total[i]), cfg.ani_k, cfg.min_count_correct, cfg.estimator
+        )
+        if res is None:
+            continue
+        ci = (None, None, None, None)
+        if cfg.bootstrap_iters > 0:
+            ci = K.bootstrap_interval(
+                res["full_covs"],
+                cfg.ani_k,
+                cfg.min_count_correct,
+                iters=cfg.bootstrap_iters,
+                seed=cfg.bootstrap_seed,
+                estimator=cfg.estimator,
             )
+        cols["id_a"].append(ids_a[i])
+        cols["id_b"].append(ids_b[i])
+        cols["contain_count"].append(res["contain_count"])
+        cols["total_kmers"].append(res["total_kmers"])
+        cols["naive_sim"].append(res["naive_ani"])
+        cols["adj_sim"].append(res["final_est_ani"])
+        cols["adjust_status"].append(res["adjust_status"])
+        cols["lambda"].append(res["lambda"] if res["lambda"] is not None else nan)
+        cols["median_cov"].append(res["median_cov"])
+        cols["kmers_lost"].append(int(lost[i]) if lost is not None else 0)
+        for name, v in zip(("ani_lo", "ani_hi", "lambda_lo", "lambda_hi"), ci):
+            cols[name].append(v if v is not None else nan)
+    return pa.RecordBatch.from_arrays(
+        [pa.array(cols[f.name], f.type) for f in SCORE_PA_SCHEMA],
+        schema=SCORE_PA_SCHEMA,
+    )
+
+
+def make_score_arrow_fn(cfg: SketchConfig, force_slow: bool = False):
+    """mapInArrow over pair rows (id_a, id_b, total_kmers, covs[, kmers_lost])
+    where ``covs`` is the pair's array of intersecting-shingle corpus
+    multiplicities — the E1/E6/E7 scoring chain (contain.rs:601-745).
+
+    Default config (ratio estimator, bootstrap off) takes the vectorized
+    whole-batch path (no per-pair Python); other estimators and bootstrap
+    CIs take the per-pair kernel loop. ``kmers_lost`` (winner-table
+    reassignment count, contain.rs:641) is passed through when present
+    (rescore pass), 0 otherwise; CI columns are NaN unless bootstrapping."""
+    fast = (
+        not force_slow and cfg.estimator == "ratio" and cfg.bootstrap_iters == 0
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            has_lost = batch.schema.get_field_index("kmers_lost") >= 0
+            out = None
+            if fast:
+                out = _score_batch_fast(batch, cfg, has_lost)
+            if out is None:
+                out = _score_batch_slow(batch, cfg, has_lost)
+            yield out
 
     return fn
 
