@@ -48,12 +48,6 @@ SHARED_SQL: dict[str, str] = {
         SELECT event_type, COUNT(*) AS cnt
         FROM events GROUP BY event_type
     """,
-    # A2 dedup-gated counting (sketch.rs:690-731): multiplicity counted over
-    # distinct fingerprints, not raw occurrences.
-    "a2_dedup_gated": """
-        SELECT l_partkey AS partkey, COUNT(DISTINCT l_suppkey) AS dedup_cnt
-        FROM lineitem GROUP BY l_partkey
-    """,
     # A4 mean read length (sketch.rs:824-826)
     "a4_mean_len": """
         SELECT lang, ROUND(AVG(n_chars), 6) AS mean_len, COUNT(*) AS n_docs
@@ -590,6 +584,26 @@ def _q_s2_format_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_a2_dedup_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 dedup-gated counting via the library operator
+    (operators.dedup.dedup_gated_counts, sketch.rs:690-731): multiplicity
+    counted over distinct fingerprints, not raw occurrences."""
+    from pyspark.sql import functions as F
+
+    from sylph_spark.operators.dedup import dedup_gated_counts
+
+    _register(spark, sf_dir)
+    return dedup_gated_counts(
+        spark.table("lineitem"), "l_partkey", "l_suppkey"
+    ).select(F.col("l_partkey").alias("partkey"), "dedup_cnt")
+
+
+_A2_DEDUP_GATED_DUCK = """
+    SELECT l_partkey AS partkey, COUNT(DISTINCT l_suppkey) AS dedup_cnt
+    FROM lineitem GROUP BY l_partkey
+"""
+
+
 def _q_a6_running_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 running-state min-spacing thinning (sketch.rs:602-619): keep an
     event iff strictly >30s past the last KEPT one per user — true running
@@ -652,6 +666,7 @@ def _q_e4_nb_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "a2_dedup_gated": _q_a2_dedup_gated,
     "a3_approx_dedup": _q_a3_approx_dedup,
     "e2_mle_zip": _q_e2_mle_zip,
     "s2_format_routing": _q_s2_format_routing,
@@ -664,10 +679,55 @@ SPARK_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_rescored": _q_dedup_rescored,
 }
 
+# DuckDB oracle for the Poisson tail cut (contain.rs:664-684): the CDF walk
+# over distinct present values ≥ covs[len/2] is equivalent — the Poisson CDF
+# is monotone in v and the first walked value (the median itself, cdf ≈ 0.5)
+# always passes — to max(present v ≥ median with v ≤ v_thr), where v_thr is
+# the largest integer whose CDF at λ=median stays under CUTOFF_PVALUE. The
+# CDF itself is a linear recurrence term_{j+1} = term_j·m/(j+1), expressed
+# as a recursive CTE; no walk runs when median ≥ 30 (max_cov = -1 sentinel,
+# matching the Spark query's encoding of +inf).
+_A8_TAIL_CUT_DUCK = """
+    WITH RECURSIVE covs AS (
+        SELECT l_returnflag AS grp, CAST(l_quantity AS INT) AS cov FROM lineitem
+    ),
+    med AS (
+        SELECT grp, CAST(cov AS DOUBLE) AS median_cov FROM (
+            SELECT grp, cov,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cov) - 1 AS rnk,
+                   COUNT(*) OVER (PARTITION BY grp) AS n
+            FROM covs
+        ) t WHERE rnk = n // 2
+    ),
+    walk AS (
+        SELECT grp, median_cov AS m, 0 AS j,
+               EXP(-median_cov) AS term, EXP(-median_cov) AS cdf
+        FROM med WHERE median_cov < 30
+        UNION ALL
+        SELECT grp, m, j + 1, term * m / (j + 1), cdf + term * m / (j + 1)
+        FROM walk WHERE cdf < 0.9999999999
+    ),
+    thr AS (
+        SELECT grp, MAX(j) AS v_thr FROM walk
+        WHERE cdf < 0.9999999999 GROUP BY grp
+    ),
+    mx AS (
+        SELECT c.grp, MAX(c.cov) AS max_cov
+        FROM covs c JOIN med USING (grp) JOIN thr USING (grp)
+        WHERE c.cov >= med.median_cov AND c.cov <= thr.v_thr
+        GROUP BY c.grp
+    )
+    SELECT med.grp AS grp, med.median_cov AS median_cov,
+           CAST(COALESCE(mx.max_cov, -1.0) AS DOUBLE) AS max_cov
+    FROM med LEFT JOIN mx USING (grp)
+"""
+
 # Spark-side-callable queries that nevertheless HAVE an exact SQL oracle
 # (merged into oracle_sql() for the full hash check).
 CALLABLE_ORACLES: dict[str, str] = {
+    "a2_dedup_gated": _A2_DEDUP_GATED_DUCK,
     "a6_running_thin": _A6_RUNNING_THIN_DUCK,
+    "a8_tail_cut": _A8_TAIL_CUT_DUCK,
 }
 
 

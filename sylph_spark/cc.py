@@ -74,7 +74,14 @@ def _driver_cc(
     labels = [(k, find(k)) for k in parent]
     spark = nodes.sparkSession
     if labels:
-        lbl_df = spark.createDataFrame(labels, [node_col, "cluster_id"])
+        # Arrow-backed ingestion: a plain list-of-tuples createDataFrame
+        # pickles row-by-row through the JVM gateway (seconds of serial
+        # driver time at ~10⁵ labels); the pandas path ships one Arrow table
+        import pandas as pd
+
+        lbl_df = spark.createDataFrame(
+            pd.DataFrame(labels, columns=[node_col, "cluster_id"])
+        )
     else:
         lbl_df = spark.createDataFrame([], f"{node_col} string, cluster_id string")
     return (

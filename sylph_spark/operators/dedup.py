@@ -24,6 +24,18 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dedup_gated_counts(df: DataFrame, key_col: str, fingerprint_col: str) -> DataFrame:
+    """A2 dedup-gated counting (sketch.rs:690-731): per key, count DISTINCT
+    fingerprints rather than raw occurrences — the reference counts a k-mer's
+    multiplicity only once per deduplicated read pair. One map-side-combined
+    hash aggregate (Spark rewrites count(distinct) as a two-phase agg, no
+    per-key state on any single task)."""
+    return (
+        df.groupBy(key_col)
+        .agg(F.countDistinct(fingerprint_col).alias("dedup_cnt"))
+    )
+
+
 def _char_shingles(df: DataFrame, id_col: str, text_col: str, k: int, prefix: int):
     s = F.lower(F.substring(F.col(text_col), 1, prefix))
     return (

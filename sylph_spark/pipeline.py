@@ -164,14 +164,16 @@ class DedupPipeline:
             # broadcast the rare vocabulary into one multi-family band UDF:
             # no explode, no re-aggregation shuffle. toArrow() lands the
             # column as a numpy-backed buffer (no Python-object loop);
-            # |rare| <= n_vocab <= cap bounds the driver transfer.
+            # |rare| <= n_vocab <= cap bounds the driver transfer, and the
+            # sc.broadcast ships it once per executor (not once per task)
             import numpy as np
 
             rare_arr = np.sort(rare.toArrow().column("shingle").to_numpy())
+            rare_bc = self.spark.sparkContext.broadcast(rare_arr)
             bands = sketches.select(
                 "image_id", "img_shingles", "cap_shingles"
             ).mapInArrow(
-                udfs.make_multi_band_fn(cfg, rare_arr), schema=udfs.BAND_SCHEMA
+                udfs.make_multi_band_fn(cfg, rare_bc), schema=udfs.BAND_SCHEMA
             )
         else:
 

@@ -163,12 +163,14 @@ def make_band_fn(
     return fn
 
 
-def make_multi_band_fn(cfg: SketchConfig, rare_sorted_i64: np.ndarray):
+def make_multi_band_fn(cfg: SketchConfig, rare_bc):
     """mapInArrow: sketches(image_id, img_shingles, cap_shingles) → band rows
     for ALL THREE LSH families in one pass, filtering stop-shingles against a
     broadcast sorted rare-set (np.searchsorted membership) — zero shuffles
-    until the bucket join. Used when the rare set fits in a task closure;
-    the join-based path handles the 10¹²-scale case."""
+    until the bucket join. ``rare_bc`` is a SparkContext.broadcast of the
+    sorted int64 vocab: a broadcast ships ONCE per executor, while a closure
+    capture would re-deserialize the (potentially multi-MB) array with every
+    task. The join-based path handles the 10¹²-scale case."""
     families = (
         (0, cfg.num_bands, cfg.rows_per_band),
         (cfg.num_bands, cfg.family_bands, cfg.family_rows),
@@ -177,9 +179,8 @@ def make_multi_band_fn(cfg: SketchConfig, rare_sorted_i64: np.ndarray):
     seeds_by_n = {
         nb * rpb: K.minhash_seeds(nb * rpb, cfg.seed) for _, nb, rpb in families
     }
-    rare = rare_sorted_i64
 
-    def keep_rare(arr_i64: np.ndarray) -> np.ndarray:
+    def keep_rare(rare: np.ndarray, arr_i64: np.ndarray) -> np.ndarray:
         if arr_i64.size == 0:
             return arr_i64
         idx = np.searchsorted(rare, arr_i64)
@@ -188,6 +189,7 @@ def make_multi_band_fn(cfg: SketchConfig, rare_sorted_i64: np.ndarray):
         return arr_i64[mask]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        rare = rare_bc.value
         for batch in batches:
             get = lambda name: batch.column(batch.schema.get_field_index(name))
             ids = get("image_id").to_pylist()
@@ -195,8 +197,8 @@ def make_multi_band_fn(cfg: SketchConfig, rare_sorted_i64: np.ndarray):
             cap_lists = get("cap_shingles").to_pylist()
             out_ids, out_bands, out_hashes = [], [], []
             for iid, img_l, cap_l in zip(ids, img_lists, cap_lists):
-                img = keep_rare(np.asarray(img_l, dtype=np.int64))
-                cap = keep_rare(np.asarray(cap_l, dtype=np.int64))
+                img = keep_rare(rare, np.asarray(img_l, dtype=np.int64))
+                cap = keep_rare(rare, np.asarray(cap_l, dtype=np.int64))
                 combined = np.concatenate([img, cap])
                 for (offset, nb, rpb), sh_i64 in zip(
                     families, (combined, img, cap)

@@ -13,6 +13,7 @@ from sylph_spark.operators import (
     cosine_knn,
     cosine_nn_blocked,
     exact_dedup,
+    dedup_gated_counts,
     language_id,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -40,6 +41,20 @@ class TestDedupOps:
         out = {r["fp"]: (r["rep_id"], r["n_copies"]) for r in exact_dedup(docs, "doc_id", "text").collect()}
         assert len(out) == 3
         assert (1, 2) in out.values()  # docs 1 and 4 collapse, rep = min id
+
+    def test_dedup_gated_counts(self, spark):
+        """A2 (sketch.rs:690-731): multiplicity counted once per distinct
+        fingerprint, not per raw occurrence."""
+        rows = [
+            ("k1", "fp1"), ("k1", "fp1"), ("k1", "fp2"),
+            ("k2", "fp1"), ("k2", "fp1"),
+        ]
+        df = spark.createDataFrame(rows, ["key", "fp"])
+        out = {
+            r["key"]: r["dedup_cnt"]
+            for r in dedup_gated_counts(df, "key", "fp").collect()
+        }
+        assert out == {"k1": 2, "k2": 1}
 
     def test_ngram_jaccard(self, docs):
         pairs = {
