@@ -299,6 +299,19 @@ def band_hashes(sig: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarr
     return h
 
 
+def band_hashes_batch(
+    sig: np.ndarray, num_bands: int, rows_per_band: int
+) -> np.ndarray:
+    """band_hashes over a whole (n_items, num_bands·rows_per_band) signature
+    matrix at once → (n_items, num_bands) u64. Bit-identical to the per-item
+    fold (same chain, same constant)."""
+    sig = sig.astype(U64, copy=False).reshape(-1, num_bands, rows_per_band)
+    h = np.full(sig.shape[:2], U64(0x51_7C_5F_00), dtype=U64)
+    for r in range(rows_per_band):
+        h = mm_hash64_np(h ^ sig[:, :, r])
+    return h
+
+
 def simhash64(shingles: np.ndarray) -> int:
     """64-bit SimHash over the shingle set (secondary verifier, north rule)."""
     if shingles.size == 0:

@@ -102,6 +102,61 @@ def make_sketch_arrow_fn(cfg: SketchConfig):
     return fn
 
 
+def _list_col_numpy(batch: pa.RecordBatch, name: str):
+    """ListArray<int64> → (flat int64 values grouped by row, per-row counts).
+    Zero-copy where Arrow allows; no per-element Python."""
+    arr = batch.column(batch.schema.get_field_index(name))
+    off = arr.offsets.to_numpy().astype(np.int64)
+    vals = arr.values.to_numpy()
+    return np.asarray(vals[off[0] : off[-1]], dtype=np.int64), np.diff(off)
+
+
+def _family_band_arrays(
+    flat_u64: np.ndarray,
+    pid: np.ndarray,
+    ids_np: np.ndarray,
+    nb: int,
+    rpb: int,
+    offset: int,
+    seeds: np.ndarray,
+):
+    """Vectorized LSH banding for one family over a whole Arrow batch:
+    ``flat_u64`` holds every item's (filtered) shingles grouped by ``pid``
+    (item index, non-decreasing). One hash pass + segment-min per seed
+    replaces the per-item minhash loop — bit-identical signatures
+    (min over mm_hash64(shingle ^ seed) per item). Items with zero
+    shingles emit no rows (they cannot minhash), as before."""
+    if flat_u64.size == 0:
+        return (
+            np.empty(0, dtype=object),
+            np.empty(0, np.int32),
+            np.empty(0, np.int64),
+        )
+    newseg = np.ones(pid.size, dtype=bool)
+    newseg[1:] = pid[1:] != pid[:-1]
+    seg_starts = np.flatnonzero(newseg)
+    present = pid[seg_starts]
+    sig = np.empty((present.size, seeds.size), dtype=np.uint64)
+    for j in range(seeds.size):
+        h = K.mm_hash64_np(flat_u64 ^ seeds[j])
+        sig[:, j] = np.minimum.reduceat(h, seg_starts)
+    bh = K.band_hashes_batch(sig, nb, rpb)
+    ids_rep = np.repeat(ids_np[present], nb)
+    bands = np.tile(np.arange(offset, offset + nb, dtype=np.int32), present.size)
+    return ids_rep, bands, K.u64_to_i64(bh.ravel())
+
+
+def _band_batch(ids_rep, bands, hashes) -> pa.RecordBatch:
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(ids_rep, pa.string()),
+            pa.array(bands, pa.int32()),
+            pa.array(hashes, pa.int64()),
+        ],
+        names=["image_id", "band", "band_hash"],
+    )
+
+
 def make_band_fn(
     cfg: SketchConfig,
     band_offset: int = 0,
@@ -109,7 +164,7 @@ def make_band_fn(
     rows_per_band: int | None = None,
 ):
     """mapInArrow: (image_id, shingles) → (image_id, band, band_hash) tall
-    rows, built with numpy repeat/tile (no per-row Python).
+    rows, whole-batch vectorized (no per-item Python loop).
 
     ``band_offset`` namespaces LSH families (source-aware banding): the
     combined set bands wide/shallow; the image-only and caption-only
@@ -122,42 +177,13 @@ def make_band_fn(
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             idx_id = batch.schema.get_field_index("image_id")
-            idx_sh = batch.schema.get_field_index("shingles")
-            ids = batch.column(idx_id).to_pylist()
-            sh_lists = batch.column(idx_sh).to_pylist()
-            keep_ids = []
-            hash_chunks = []
-            for iid, lst in zip(ids, sh_lists):
-                sh = K.i64_to_u64(np.asarray(lst, dtype=np.int64))
-                if sh.size == 0:
-                    continue
-                sig = K.minhash_signature(sh, seeds)
-                bh = K.band_hashes(sig, nb, rpb)
-                keep_ids.append(iid)
-                hash_chunks.append(K.u64_to_i64(bh))
-            m = len(keep_ids)
-            if m == 0:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array([], pa.string()),
-                        pa.array([], pa.int32()),
-                        pa.array([], pa.int64()),
-                    ],
-                    names=["image_id", "band", "band_hash"],
+            ids_np = np.array(batch.column(idx_id).to_pylist(), dtype=object)
+            flat, counts = _list_col_numpy(batch, "shingles")
+            pid = np.repeat(np.arange(batch.num_rows), counts)
+            yield _band_batch(
+                *_family_band_arrays(
+                    K.i64_to_u64(flat), pid, ids_np, nb, rpb, band_offset, seeds
                 )
-                continue
-            ids_rep = np.repeat(np.array(keep_ids, dtype=object), nb)
-            bands = np.tile(
-                np.arange(band_offset, band_offset + nb, dtype=np.int32), m
-            )
-            hashes = np.concatenate(hash_chunks)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(ids_rep, pa.string()),
-                    pa.array(bands, pa.int32()),
-                    pa.array(hashes, pa.int64()),
-                ],
-                names=["image_id", "band", "band_hash"],
             )
 
     return fn
@@ -180,54 +206,54 @@ def make_multi_band_fn(cfg: SketchConfig, rare_bc):
         nb * rpb: K.minhash_seeds(nb * rpb, cfg.seed) for _, nb, rpb in families
     }
 
-    def keep_rare(rare: np.ndarray, arr_i64: np.ndarray) -> np.ndarray:
-        if arr_i64.size == 0:
-            return arr_i64
-        idx = np.searchsorted(rare, arr_i64)
-        idx_c = np.clip(idx, 0, rare.size - 1)
-        mask = (idx < rare.size) & (rare[idx_c] == arr_i64)
-        return arr_i64[mask]
+    def keep_mask(rare: np.ndarray, flat_i64: np.ndarray) -> np.ndarray:
+        if flat_i64.size == 0:
+            return np.zeros(0, dtype=bool)
+        idx = np.searchsorted(rare, flat_i64)
+        idx_c = np.clip(idx, 0, max(rare.size - 1, 0))
+        if rare.size == 0:
+            return np.zeros(flat_i64.size, dtype=bool)
+        return (idx < rare.size) & (rare[idx_c] == flat_i64)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         rare = rare_bc.value
         for batch in batches:
-            get = lambda name: batch.column(batch.schema.get_field_index(name))
-            ids = get("image_id").to_pylist()
-            img_lists = get("img_shingles").to_pylist()
-            cap_lists = get("cap_shingles").to_pylist()
-            out_ids, out_bands, out_hashes = [], [], []
-            for iid, img_l, cap_l in zip(ids, img_lists, cap_lists):
-                img = keep_rare(rare, np.asarray(img_l, dtype=np.int64))
-                cap = keep_rare(rare, np.asarray(cap_l, dtype=np.int64))
-                combined = np.concatenate([img, cap])
-                for (offset, nb, rpb), sh_i64 in zip(
-                    families, (combined, img, cap)
-                ):
-                    if sh_i64.size == 0:
-                        continue
-                    sh = K.i64_to_u64(sh_i64)
-                    sig = K.minhash_signature(sh, seeds_by_n[nb * rpb])
-                    bh = K.band_hashes(sig, nb, rpb)
-                    out_ids.extend([iid] * nb)
-                    out_bands.append(
-                        np.arange(offset, offset + nb, dtype=np.int32)
+            n = batch.num_rows
+            idx_id = batch.schema.get_field_index("image_id")
+            ids_np = np.array(batch.column(idx_id).to_pylist(), dtype=object)
+            img_flat, img_cnt = _list_col_numpy(batch, "img_shingles")
+            cap_flat, cap_cnt = _list_col_numpy(batch, "cap_shingles")
+            img_pid = np.repeat(np.arange(n), img_cnt)
+            cap_pid = np.repeat(np.arange(n), cap_cnt)
+            im = keep_mask(rare, img_flat)
+            cm = keep_mask(rare, cap_flat)
+            img_f, img_p = img_flat[im], img_pid[im]
+            cap_f, cap_p = cap_flat[cm], cap_pid[cm]
+            # combined family = img ∪ cap multiset per item (min over the
+            # concatenation ≡ min over the union); regroup by item index
+            comb_p = np.concatenate([img_p, cap_p])
+            comb_f = np.concatenate([img_f, cap_f])
+            order = np.argsort(comb_p, kind="stable")
+            comb_p, comb_f = comb_p[order], comb_f[order]
+            outs = []
+            for (offset, nb, rpb), (flat, pid) in zip(
+                families, ((comb_f, comb_p), (img_f, img_p), (cap_f, cap_p))
+            ):
+                outs.append(
+                    _family_band_arrays(
+                        K.i64_to_u64(flat),
+                        pid,
+                        ids_np,
+                        nb,
+                        rpb,
+                        offset,
+                        seeds_by_n[nb * rpb],
                     )
-                    out_hashes.append(K.u64_to_i64(bh))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(out_ids, pa.string()),
-                    pa.array(
-                        np.concatenate(out_bands)
-                        if out_bands
-                        else np.empty(0, np.int32)
-                    ),
-                    pa.array(
-                        np.concatenate(out_hashes)
-                        if out_hashes
-                        else np.empty(0, np.int64)
-                    ),
-                ],
-                names=["image_id", "band", "band_hash"],
+                )
+            yield _band_batch(
+                np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]),
+                np.concatenate([o[2] for o in outs]),
             )
 
     return fn
