@@ -15,6 +15,11 @@ def main(path=".bench_cache/images_big.parquet", n_base=300_000, cpus=32):
     images = spark.read.parquet(path)
     out = run_volatile(spark, images, SketchConfig())
     labels = {r["image_id"]: r["cluster_id"] for r in out["clusters"].collect()}
+    # survivor ground truth at scale: one representative per pipeline
+    # cluster, drawn from that cluster's members
+    survivors = {r["image_id"]: r["cluster_id"] for r in out["survivors"].collect()}
+    assert len(survivors) == len(set(labels.values())), "1 survivor / cluster"
+    assert all(labels[s] == c for s, c in survivors.items()), "member of own cluster"
     plan = _plan(n_base)
     hits = misses = neg_bad = neg_total = 0
     by_kind = {}

@@ -133,6 +133,34 @@ class TestArgmaxSurvivors:
         assert got == {"x"}
 
 
+class TestSurvivorsVsGeneratorTruth:
+    def test_one_survivor_per_merged_truth_cluster(self, spark):
+        """Generator-truth semantics for the survivors table: every pipeline
+        cluster keeps EXACTLY one member, that member belongs to the cluster,
+        and for each ground-truth dup cluster the pipeline merged completely,
+        exactly one of its members survives (dedup actually deduplicates).
+        The same assertions run at bench scale in scripts/recall_at_scale.py."""
+        from sylph_spark import fixtures
+        from sylph_spark.pipeline import images_df_from_pandas, run_volatile
+
+        images, truth = fixtures.generate_corpus(n_base=200, seed=42)
+        out = run_volatile(spark, images_df_from_pandas(spark, images), SketchConfig())
+        clusters = {r["image_id"]: r["cluster_id"] for r in out["clusters"].collect()}
+        survivors = {r["image_id"]: r["cluster_id"] for r in out["survivors"].collect()}
+        # exactly one survivor per pipeline cluster, member of that cluster
+        assert len(survivors) == len(set(clusters.values()))
+        for sid, cid in survivors.items():
+            assert clusters[sid] == cid
+        # every FULLY-merged truth cluster keeps exactly one member
+        merged_checked = 0
+        for members in fixtures.truth_clusters(truth).values():
+            cids = {clusters[m] for m in members}
+            if len(cids) == 1:  # pipeline merged the whole truth cluster
+                merged_checked += 1
+                assert len(members & set(survivors)) == 1
+        assert merged_checked > 0  # the fixture must exercise the property
+
+
 class TestBootstrapCI:
     def test_ci_columns_deterministic_and_ordered(self, spark):
         from sylph_spark import fixtures
