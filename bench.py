@@ -231,27 +231,12 @@ def _host_cpu_control(legs: tuple[int, int]) -> dict:
     }
 
 
-def run_scaling(n_base: int, px: int = 64) -> None:
-    """N vs 4N cores on the identical input → BENCH/BASELINE.md.
-
-    Leg sizes come from $SYLPH_SCALE_LEGS (default "2,8"; the round-1
-    "8,32" pair is kept as a reported secondary). Each parallelism level
-    runs in its OWN process (cold JVM), pinned with taskset, page-cache
-    pre-read, warmed to steady state (JIT tier-up takes several passes),
-    best-of-2 measured. A pure-CPU multiprocessing control measures the
-    HOST's own scaling ceiling between the same leg sizes.
-    """
+def _run_legs(images_path: str, legs: tuple[int, int]) -> dict:
+    """Run the identical dedup job at each parallelism level, each in its
+    own cold-JVM taskset-pinned process (page-cache pre-read, steady-state
+    warm-up, best-of-N measured). Returns {cpus: leg_json}."""
     import subprocess
 
-    from sylph_spark.session import build_spark
-
-    legs = tuple(
-        int(x) for x in os.environ.get("SYLPH_SCALE_LEGS", "2,8").split(",")
-    )
-    gen_spark = build_spark("gen", master="local[32]", shuffle_partitions=64)
-    images_path = _fixture_parquet(n_base, spark=gen_spark, px=px)
-    gen_spark.stop()
-    control = _host_cpu_control(legs)
     repo = os.path.dirname(os.path.abspath(__file__))
     results = {}
     for cpus in legs:
@@ -266,54 +251,123 @@ def run_scaling(n_base: int, px: int = 64) -> None:
             ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
             capture_output=True,
             text=True,
-            env={**os.environ, "SYLPH_DRIVER_MEM": os.environ.get("SYLPH_DRIVER_MEM", "24g")},
+            env={
+                **os.environ,
+                "SYLPH_DRIVER_MEM": os.environ.get("SYLPH_DRIVER_MEM", "24g"),
+            },
             check=True,
         )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    lo, hi = legs
-    t8, t32 = results[lo]["sec"], results[hi]["sec"]
-    ratio = hi / lo
-    eff = (t8 / t32) / ratio
+    return results
+
+
+def run_scaling(n_base: int, px: int = 64) -> None:
+    """N vs 4N cores on the identical input → BENCH/BASELINE.md.
+
+    Profiles come from $SYLPH_BENCH_PROFILES ("px:n_base,px:n_base", default
+    one profile from the n_base/px args): the px256 profile carries ~100 KB
+    lossy payloads per row — the row shape of the 10^12-scale web-image
+    target — while px64 is the light-payload stress case where shuffle
+    latency, not decode compute, dominates. Leg sizes from $SYLPH_SCALE_LEGS
+    (default "2,8"). A pure-CPU multiprocessing control measures the HOST's
+    own scaling ceiling between the same leg sizes."""
+    from sylph_spark.session import build_spark
+
+    legs = tuple(
+        int(x) for x in os.environ.get("SYLPH_SCALE_LEGS", "2,8").split(",")
+    )
+    profiles = [
+        tuple(int(v) for v in p.split(":"))
+        for p in os.environ.get(
+            "SYLPH_BENCH_PROFILES", f"{px}:{n_base}"
+        ).split(",")
+    ]
+    gen_spark = build_spark("gen", master="local[32]", shuffle_partitions=64)
+    paths = {
+        (ppx, pn): _fixture_parquet(pn, spark=gen_spark, px=ppx)
+        for ppx, pn in profiles
+    }
+    gen_spark.stop()
+    control = _host_cpu_control(legs)
     host_eff = control["efficiency"]
+    lo, hi = legs
+    ratio = hi / lo
+    per_profile = {}
+    for (ppx, pn), path in paths.items():
+        results = _run_legs(path, legs)
+        eff = (results[lo]["sec"] / results[hi]["sec"]) / ratio
+        per_profile[(ppx, pn)] = (results, eff)
+    write_scaling_md(per_profile, legs, host_eff)
+    print(
+        json.dumps(
+            {
+                "host_cpu_efficiency": round(host_eff, 3),
+                "profiles": {
+                    f"px{ppx}": {
+                        "scaling_efficiency": round(eff, 3),
+                        "normalized_efficiency": round(
+                            min(eff / host_eff, 1.0), 3
+                        ),
+                        **{f"local{c}": r[c] for c in r},
+                    }
+                    for (ppx, _pn), (r, eff) in per_profile.items()
+                },
+            }
+        )
+    )
+
+
+def write_scaling_md(per_profile: dict, legs: tuple[int, int], host_eff: float) -> None:
+    lo, hi = legs
+    ratio = hi / lo
+    rows = []
+    for (ppx, _pn), (r, eff) in per_profile.items():
+        kind = (
+            "~100 KB lossy rows (target web-image shape)"
+            if ppx >= 128
+            else "light ~10 KB rows (shuffle-dominated stress)"
+        )
+        rows.append(
+            f"""
+## Corpus px{ppx} — {r[lo]['images']} images, {kind}
+
+| parallelism | wall sec | images/sec |
+|---|---|---|
+| local[{lo}]  (N)  | {r[lo]['sec']:.2f} | {r[lo]['ips']:.1f} |
+| local[{hi}] ({ratio:.0f}N) | {r[hi]['sec']:.2f} | {r[hi]['ips']:.1f} |
+
+**speedup {lo}→{hi} cores: {r[lo]['sec'] / r[hi]['sec']:.2f}×; scaling
+efficiency (T_N/T_4N)/{ratio:.0f} = {eff:.3f}
+(host-ceiling-normalized {min(eff / host_eff, 1.0):.3f})**
+"""
+        )
     md = f"""# BENCH — scaling evidence (north rule: N→4N efficiency ≥ 0.8)
 
 No real cluster exists in this sandbox (single 32-vCPU virtualized host);
 per the round instructions, the two-cluster-size criterion is evidenced by
-running the IDENTICAL dedup job on the IDENTICAL input
-({results[lo]['images']} fixture images) at two parallelism levels, each in
-its own taskset-pinned process, page-cache pre-read, warmed to steady
-state, best-of-2 measured.
-
-| parallelism | wall sec | images/sec |
-|---|---|---|
-| local[{lo}]  (N)  | {t8:.2f} | {results[lo]['ips']:.1f} |
-| local[{hi}] ({ratio:.0f}N) | {t32:.2f} | {results[hi]['ips']:.1f} |
-
-**speedup {lo}→{hi} cores: {t8 / t32:.2f}×; scaling efficiency (T_N/T_4N)/{ratio:.0f} = {eff:.3f}**
-
+running the IDENTICAL dedup job on the IDENTICAL input at two parallelism
+levels, each in its own taskset-pinned process (cold JVM), page-cache
+pre-read, warmed to steady state, best-of-2 measured.
+{''.join(rows)}
 Host control (pure-arithmetic multiprocessing, perfectly parallel, zero
 shuffle): the SAME {lo}→{hi} scaling on this host reaches only
 **{host_eff:.3f}** efficiency — the virtualized box does not deliver
-{hi} full cores concurrently. Pipeline efficiency normalized by the host
-ceiling: **{min(eff / host_eff, 1.0):.3f}**.
+{hi} full cores concurrently.
 
 Caveats: a single-host local-mode JVM shares one shuffle service, memory
 bus, and Python worker pool, so this understates multi-executor scaling
 (no network, but also no per-executor bandwidth isolation). The pipeline's
-shuffle-heavy stages (shingle_counts groupBy, LSH band join, CC iterations)
-partition by hash keys and carry no driver-side loops, so task parallelism
-scales with executor count; skew is handled by chunked pair-generation +
-AQE skew-join.
+shuffle-heavy stages (shingle_counts groupBy, LSH bucket groupBy, CC
+iterations) partition by hash keys and carry no driver-side loops, so task
+parallelism scales with executor count; skew is handled by chunked
+pair-generation + AQE skew-join. The px256 profile matches the
+north-rule input shape (input_hint: image bytes + caption rows); the px64
+profile deliberately removes the decode-compute cushion and exposes the
+shuffle/scheduling floor.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
-    print(json.dumps({
-        "scaling_efficiency": round(eff, 3),
-        "host_cpu_efficiency": round(host_eff, 3),
-        "normalized_efficiency": round(min(eff / host_eff, 1.0), 3),
-        **{f"local{c}": results[c] for c in results},
-    }))
 
 
 if __name__ == "__main__":
