@@ -35,14 +35,23 @@ def cosine_knn(
     query_vec: list[float],
     k: int = 10,
 ) -> DataFrame:
-    """Global top-k by cosine to a literal query vector (brute force)."""
+    """Global top-k by cosine to a literal query vector (brute force).
+
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition top-k
+    merged on the driver, no global sort. The row_number window that
+    assigns ranks runs AFTER the limit, over exactly k rows (a global
+    window over the full table would single-partition 10¹² rows)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
-    ranked = df.select(F.col(id_col), sim.alias("cosine")).withColumn(
+    top = (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+    return top.withColumn(
         "rnk",
         F.row_number().over(Window.orderBy(F.desc("cosine"), F.col(id_col))),
-    )
-    return ranked.filter(F.col("rnk") <= k).select(id_col, "cosine", "rnk")
+    ).select(id_col, "cosine", "rnk")
 
 
 def cosine_nn_blocked(
