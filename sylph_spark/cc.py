@@ -35,52 +35,58 @@ def connected_components(
 
     Adaptive execution (same spirit as AQE's broadcast decision): when the
     edge set is below ``driver_threshold`` the component labels are computed
-    with a driver-side union-find over the collected edges and joined back —
-    O(E α(E)) with zero iterative shuffles. Above it, the distributed
-    propagation loop runs. Both paths produce identical labels.
+    driver-side with vectorized min-label propagation over the Arrow-collected
+    edge codes and joined back — zero iterative shuffles. Above it, the
+    distributed propagation loop runs. Both paths produce identical labels.
     """
-    # Cheap path probe: limit(k+1).count() early-terminates once the
-    # threshold is exceeded WITHOUT materializing Row objects on the driver
-    # (collecting 2M+1 rows just to discard them is GB-scale transfer in the
-    # large-graph case). Only when the probe says "small" do we pay the
-    # second action to actually fetch the edges.
+    # Path probe and edge fetch in ONE action: limit(k+1).toArrow() bounds
+    # the driver transfer at threshold+1 id pairs (~tens of MB as Arrow
+    # columns — no Row objects), and when the probe says "small" the same
+    # table IS the edge list, so the small-graph case pays a single job
+    # instead of a count followed by a collect.
     pairs = edges.select(src_col, dst_col)
-    if pairs.limit(driver_threshold + 1).count() <= driver_threshold:
-        return _driver_cc(nodes, pairs.collect(), node_col, src_col, dst_col)
+    probe = pairs.limit(driver_threshold + 1).toArrow()
+    if probe.num_rows <= driver_threshold:
+        return _driver_cc(nodes, probe, node_col, src_col, dst_col)
     return _distributed_cc(nodes, edges, node_col, src_col, dst_col, max_iter)
 
 
 def _driver_cc(
-    nodes: DataFrame, pairs: list, node_col: str, src_col: str, dst_col: str
+    nodes: DataFrame, edge_tbl, node_col: str, src_col: str, dst_col: str
 ) -> DataFrame:
-    parent: dict[str, str] = {}
+    """Vectorized driver-side CC over an Arrow edge table: factorize string
+    ids into codes (np.unique on a fixed-width string array — C-speed sort,
+    no per-edge Python), then min-label hooking + full pointer-jumping
+    compression until fixpoint. Replaces the dict union-find whose per-edge
+    Python loop was ~2 s of core-count-invariant driver time at bench scale
+    (serial floor in the scaling legs). Labels are identical: the cluster id
+    is the lexicographic-min node id of the component (code order = np.unique
+    sort order = lexicographic)."""
+    import numpy as np
+    import pandas as pd
 
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for r in pairs:
-        a, b = r[src_col], r[dst_col]
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    labels = [(k, find(k)) for k in parent]
     spark = nodes.sparkSession
-    if labels:
-        # Arrow-backed ingestion: a plain list-of-tuples createDataFrame
-        # pickles row-by-row through the JVM gateway (seconds of serial
-        # driver time at ~10⁵ labels); the pandas path ships one Arrow table
-        import pandas as pd
-
+    if edge_tbl.num_rows:
+        a_obj = edge_tbl.column(src_col).to_numpy(zero_copy_only=False)
+        b_obj = edge_tbl.column(dst_col).to_numpy(zero_copy_only=False)
+        both = np.concatenate([a_obj, b_obj]).astype("U")
+        uniq, codes = np.unique(both, return_inverse=True)
+        ca, cb = codes[: a_obj.size], codes[a_obj.size :]
+        label = np.arange(uniq.size, dtype=np.int64)
+        while True:
+            before = label.copy()
+            m = np.minimum(label[ca], label[cb])
+            np.minimum.at(label, ca, m)
+            np.minimum.at(label, cb, m)
+            while True:
+                jumped = label[label]
+                if np.array_equal(jumped, label):
+                    break
+                label = jumped
+            if np.array_equal(label, before):
+                break
         lbl_df = spark.createDataFrame(
-            pd.DataFrame(labels, columns=[node_col, "cluster_id"])
+            pd.DataFrame({node_col: uniq, "cluster_id": uniq[label]})
         )
     else:
         lbl_df = spark.createDataFrame([], f"{node_col} string, cluster_id string")

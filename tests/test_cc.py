@@ -33,7 +33,7 @@ def _labels(df):
 class TestCC:
     def test_driver_equals_distributed(self, graph):
         ndf, edf = graph
-        a = _labels(_driver_cc(ndf, edf.collect(), "image_id", "id_a", "id_b"))
+        a = _labels(_driver_cc(ndf, edf.toArrow(), "image_id", "id_a", "id_b"))
         b = _labels(_distributed_cc(ndf, edf, "image_id", "id_a", "id_b", 50))
         assert a == b
 
