@@ -417,15 +417,21 @@ blocks inflated earlier rounds' steady-state numbers by up to 40%).
 ## Host controls (what this box can possibly show)
 
 - **Arithmetic** (multiprocessing float spin, cache-resident, perfectly
-  parallel): {lo}→{hi} scaling efficiency **{host_eff:.3f}** — the
-  virtualized box almost delivers {hi} full cores for compute.
+  parallel): {lo}→{hi} scaling efficiency **{host_eff:.3f}**.
 - **Streaming memory bandwidth** (np.copyto, read+write): aggregate
   {bw['agg_gbs'][lo]} GB/s at {lo} procs → {bw['agg_gbs'][hi]} GB/s at
-  {hi} procs, scaling efficiency **{bw_eff:.3f}** — ONE memory bus,
-  saturated by ~2 cores. Any stage whose working set streams through DRAM
-  (the ~100 KB/row image decode) is capped at this curve on a single host,
-  REGARDLESS of implementation: the pure-Python sketch kernel alone (no
-  Spark) reproduces it (measured 0.30 for {lo}→{hi}).
+  {hi} procs, scaling efficiency **{bw_eff:.3f}**.
+
+Both controls are TIME-VARYING on this shared virtualized host (observed
+across measurement windows: arithmetic 0.69-0.96; bandwidth 3.5→4.2 GB/s
+with efficiency 0.30 in one window vs the figures above in another —
+noisy-neighbor contention on the one memory bus). They bound what any
+implementation can show in the window they were taken; a RAW pipeline
+efficiency above a control simply means the host gave the legs more than
+it gave the control. Any stage whose working set streams through DRAM
+(the ~100 KB/row image decode) rides the bandwidth curve on a single
+host REGARDLESS of implementation: in the constrained window the
+pure-Python sketch kernel alone (no Spark) reproduced the 0.30.
 
 The px64 profile is the honest proxy for executor-count scaling: its
 per-image working set fits the cache hierarchy, so the measurement
