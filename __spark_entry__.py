@@ -547,7 +547,8 @@ def _q_a3_approx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_e2_mle_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 zero-inflated-Poisson MLE via Newton-Raphson (inference.rs:157-205,
-    hidden --mle flag) per group — iterative, not SQL-expressible."""
+    hidden --mle flag) per group. Exact oracle: the fixed-1000-iteration
+    Newton recurrence as a recursive CTE (_E2_MLE_ZIP_DUCK)."""
     import pandas as pd
 
     from sylph_spark import kernels as K
@@ -645,8 +646,9 @@ _A6_RUNNING_THIN_DUCK = """
 
 def _q_e4_nb_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 negative-binomial grid search for λ (inference.rs:5-102,
-    binary_search_lambda): iterative golden-section-style search over the
-    NB likelihood — not SQL-expressible, rows-only check."""
+    binary_search_lambda): 10,000-step flat scan minimizing the 2s/1s
+    ratio mismatch. Exact oracle: series cross-join + windowed argmin
+    (_E4_NB_GRID_DUCK)."""
     import pandas as pd
 
     from sylph_spark import kernels as K
@@ -722,12 +724,92 @@ _A8_TAIL_CUT_DUCK = """
     FROM med LEFT JOIN mx USING (grp)
 """
 
+# DuckDB oracle for the zero-inflated-Poisson MLE (inference.rs:157-205):
+# the Newton-Raphson update is a scalar recurrence with a FIXED iteration
+# count (1000, matching the kernel), expressed as a recursive CTE. The
+# zero-ratio is rounded through float32 exactly as the kernel does
+# (np.float32 ↔ CAST AS REAL); both engines then iterate in float64 with
+# the same libm exp, and Newton's contraction squashes sub-ULP input
+# differences, so the 6dp-rounded fixpoints agree.
+_E2_MLE_ZIP_DUCK = """
+    WITH RECURSIVE covs AS (
+        SELECT l_returnflag AS grp, CAST(l_quantity AS INT) % 5 AS cov
+        FROM lineitem
+    ),
+    stats AS (
+        SELECT grp,
+               AVG(CAST(cov AS DOUBLE)) AS m,
+               CAST(CAST(COUNT(*) FILTER (WHERE cov = 0) AS DOUBLE)
+                    / COUNT(*) AS REAL) AS rat32,
+               COUNT(*) FILTER (WHERE cov <> 0) AS nz,
+               COUNT(DISTINCT cov) FILTER (WHERE cov <> 0) AS ndist
+        FROM covs GROUP BY grp
+    ),
+    iter AS (
+        SELECT grp, m, CAST(rat32 AS DOUBLE) AS rat, 0 AS i,
+               m / (1.0 - CAST(rat32 AS DOUBLE)) AS curr
+        FROM stats
+        UNION ALL
+        SELECT grp, m, rat, i + 1,
+               curr - ((1.0 - rat) * curr - m * (1.0 - EXP(-curr)))
+                    / ((1.0 - rat) - m * EXP(-curr))
+        FROM iter WHERE i < 1000
+    )
+    SELECT s.grp AS grp,
+           CASE WHEN s.nz >= 25 AND s.ndist >= 2
+                     AND isfinite(it.curr) AND it.curr >= 0.0
+                THEN it.curr ELSE 'nan'::DOUBLE END AS mle_lambda
+    FROM stats s JOIN iter it ON s.grp = it.grp AND it.i = 1000
+"""
+
+# DuckDB oracle for the NB grid search (inference.rs:5-102): the 10,000-step
+# λ scan is a flat argmin over a generated series — pure SQL. The objective
+# mirrors ratio_formula exactly, including the lgamma small-r branch and the
+# (r+2)/2 large-r approximation; ties break toward the smaller grid index
+# (the kernel's strict < keeps the first minimum).
+_E4_NB_GRID_DUCK = """
+    WITH covs AS (
+        SELECT l_returnflag AS grp, CAST(l_quantity AS INT) % 6 AS cov
+        FROM lineitem
+    ),
+    stats AS (
+        SELECT grp,
+               AVG(CAST(cov AS DOUBLE)) AS m,
+               VAR_POP(CAST(cov AS DOUBLE)) AS v,
+               COUNT(*) FILTER (WHERE cov = 1) AS ones,
+               COUNT(*) FILTER (WHERE cov = 2) AS twos
+        FROM covs GROUP BY grp
+    ),
+    grid AS (
+        SELECT grp, m, v, ones, twos, g.i,
+               GREATEST(0.003, m - 2.0)
+                 + (m + 5.0 - GREATEST(0.003, m - 2.0)) / 10000.0 * g.i AS t
+        FROM stats, range(0, 10000) g(i)
+        WHERE ones > 0
+    ),
+    objective AS (
+        SELECT grp, t, i,
+               ABS(CASE WHEN r < 100.0
+                        THEN EXP(LGAMMA(r + 2.0) - LGAMMA(r + 1.0)) / 2.0
+                             * t / (r + t)
+                        ELSE (r + 2.0) / 2.0 * t / (r + t) END
+                   - CAST(twos AS DOUBLE) / ones) AS p
+        FROM (SELECT *, t / (v - 1.0 + t + m) AS r FROM grid)
+        WHERE r >= 0.0
+    )
+    SELECT grp, t AS nb_lambda
+    FROM objective
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY p ASC, i ASC) = 1
+"""
+
 # Spark-side-callable queries that nevertheless HAVE an exact SQL oracle
 # (merged into oracle_sql() for the full hash check).
 CALLABLE_ORACLES: dict[str, str] = {
     "a2_dedup_gated": _A2_DEDUP_GATED_DUCK,
     "a6_running_thin": _A6_RUNNING_THIN_DUCK,
     "a8_tail_cut": _A8_TAIL_CUT_DUCK,
+    "e2_mle_zip": _E2_MLE_ZIP_DUCK,
+    "e4_nb_grid": _E4_NB_GRID_DUCK,
 }
 
 
