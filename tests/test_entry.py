@@ -13,7 +13,17 @@ import __spark_entry__ as E
 
 SF = "/root/testdata/sf0.001"
 
-SPOT = ["a1_hash_agg", "e1_ratio_lambda", "j1_containment", "dd_exact_dedup", "emb_knn"]
+SPOT = [
+    "a1_hash_agg",
+    "e1_ratio_lambda",
+    "j1_containment",
+    "dd_exact_dedup",
+    "emb_knn",
+    # the two recurrence-based oracles (recursive-CTE Newton, grid argmin)
+    # are the most numerically delicate — keep them under regression
+    "e2_mle_zip",
+    "e4_nb_grid",
+]
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
