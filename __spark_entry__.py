@@ -764,9 +764,16 @@ _E2_MLE_ZIP_DUCK = """
 
 # DuckDB oracle for the NB grid search (inference.rs:5-102): the 10,000-step
 # λ scan is a flat argmin over a generated series — pure SQL. The objective
-# mirrors ratio_formula exactly, including the lgamma small-r branch and the
-# (r+2)/2 large-r approximation; ties break toward the smaller grid index
-# (the kernel's strict < keeps the first minimum).
+# mirrors ratio_formula exactly, including the lgamma small-r branch, the
+# (r+2)/2 large-r approximation, and the kernel's best_val=10000.0 initial
+# cutoff (p < 10000 filter); ties break toward the smaller grid index (the
+# kernel's strict < keeps the first minimum). Groups where the kernel
+# returns None — ones = 0, or every grid candidate rejected (r < 0 /
+# p ≥ 10000) — surface as NaN via the LEFT JOIN from stats, mirroring the
+# Spark side's NaN row. Residual risk (accepted): DuckDB AVG/VAR_POP vs
+# numpy two-pass moments can differ by ULPs, so a near-tie between adjacent
+# grid points (~7e-4 apart) could in principle flip the argmin at some
+# other scale factor; verified exact at sf0.001/sf0.01.
 _E4_NB_GRID_DUCK = """
     WITH covs AS (
         SELECT l_returnflag AS grp, CAST(l_quantity AS INT) % 6 AS cov
@@ -796,10 +803,14 @@ _E4_NB_GRID_DUCK = """
                    - CAST(twos AS DOUBLE) / ones) AS p
         FROM (SELECT *, t / (v - 1.0 + t + m) AS r FROM grid)
         WHERE r >= 0.0
+    ),
+    best AS (
+        SELECT grp, t FROM objective
+        WHERE p < 10000.0
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY p ASC, i ASC) = 1
     )
-    SELECT grp, t AS nb_lambda
-    FROM objective
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY p ASC, i ASC) = 1
+    SELECT s.grp AS grp, COALESCE(b.t, 'nan'::DOUBLE) AS nb_lambda
+    FROM stats s LEFT JOIN best b USING (grp)
 """
 
 # Spark-side-callable queries that nevertheless HAVE an exact SQL oracle

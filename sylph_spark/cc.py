@@ -33,6 +33,13 @@ def connected_components(
     """Returns (node_col, cluster_id) where cluster_id = min node id in the
     component. Deterministic; independent of input partitioning.
 
+    Node and edge id columns MUST be non-null strings (the framework's
+    image_ids are): both paths label a component by its MIN id, and "min"
+    is lexicographic only for strings — the driver path factorizes ids into
+    a fixed-width unicode array (so e.g. int ids would sort '10' < '2'
+    there but 2 < 10 in the distributed F.min path). The driver path
+    asserts this; pass string-cast columns for other id types.
+
     Adaptive execution (same spirit as AQE's broadcast decision): when the
     edge set is below ``driver_threshold`` the component labels are computed
     driver-side with vectorized min-label propagation over the Arrow-collected
@@ -64,7 +71,21 @@ def _driver_cc(
     sort order = lexicographic)."""
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
+    for col in (src_col, dst_col):
+        t = edge_tbl.schema.field(col).type
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            raise TypeError(
+                f"connected_components requires string node ids; edge column "
+                f"{col!r} is {t} (cast to string — min-label semantics are "
+                f"lexicographic on both paths)"
+            )
+        if edge_tbl.column(col).null_count:
+            raise ValueError(
+                f"connected_components: edge column {col!r} contains nulls "
+                f"(they would stringify to the literal 'None')"
+            )
     spark = nodes.sparkSession
     if edge_tbl.num_rows:
         a_obj = edge_tbl.column(src_col).to_numpy(zero_copy_only=False)
