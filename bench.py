@@ -105,6 +105,48 @@ def _scorer_microbench(n_pairs: int = 20000) -> dict:
     }
 
 
+def _bootstrap_microbench(n_pairs: int = 400) -> dict:
+    """Tensorized bootstrap-CI path (pairs × iters resample tensor) vs the
+    per-pair seeded loop, bootstrap_iters=100 — VERDICT r3 #2 evidence."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sylph_spark import udfs
+    from sylph_spark.config import SketchConfig
+
+    rng = np.random.default_rng(7)
+    covs, totals = [], []
+    for i in range(n_pairs):
+        lam = (1.2, 6.0, 1.0)[i % 3]
+        c = rng.poisson(lam, size=rng.integers(25, 120)) + 1
+        covs.append(c.tolist())
+        totals.append(int(c.size + rng.integers(0, 40)))
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([f"a{i}" for i in range(n_pairs)], pa.string()),
+            pa.array([f"b{i}" for i in range(n_pairs)], pa.string()),
+            pa.array(totals, pa.int32()),
+            pa.array(covs, pa.list_(pa.int32())),
+        ],
+        names=["id_a", "id_b", "total_kmers", "covs"],
+    )
+    cfg = SketchConfig(bootstrap_iters=100)
+
+    def run(fn):
+        list(fn(iter([batch])))  # warm
+        t0 = time.perf_counter()
+        list(fn(iter([batch])))
+        return n_pairs / (time.perf_counter() - t0)
+
+    fast = run(udfs.make_score_arrow_fn(cfg))
+    slow = run(udfs.make_score_arrow_fn(cfg, force_slow=True))
+    return {
+        "fast_pairs_per_sec": round(fast),
+        "loop_pairs_per_sec": round(slow),
+        "speedup": round(fast / slow, 1),
+    }
+
+
 def _release_checkpoints(spark) -> None:
     """Unpersist every cached RDD (the run's localCheckpoints). Checkpoint
     blocks are otherwise freed only when the ContextCleaner notices the
@@ -166,6 +208,7 @@ def run_bench(sf_dir: str, cpus: int, n_base: int) -> dict:
         "dedup_images": n_img,
         "dedup_images_per_sec": round(n_img / dt, 2),
         "scorer_microbench": _scorer_microbench(),
+        "scorer_bootstrap_microbench": _bootstrap_microbench(),
         "cpus": cpus,
     }
     spark.stop()

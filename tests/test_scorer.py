@@ -129,3 +129,95 @@ def test_fast_speedup():
     _run(slow_fn, batch)
     t_slow = time.perf_counter() - t0
     assert t_slow / t_fast >= 5.0, (t_fast, t_slow)
+
+
+def _assert_parity(fast, slow, float_cols):
+    assert list(fast.columns) == list(slow.columns)
+    assert len(fast) == len(slow)
+    f = fast.sort_values("id_a").reset_index(drop=True)
+    s = slow.sort_values("id_a").reset_index(drop=True)
+    for col in ("id_a", "id_b", "adjust_status"):
+        assert f[col].tolist() == s[col].tolist(), col
+    for col in ("contain_count", "total_kmers", "kmers_lost"):
+        assert (f[col].to_numpy() == s[col].to_numpy()).all(), col
+    for col in float_cols:
+        np.testing.assert_allclose(
+            f[col].to_numpy(), s[col].to_numpy(), rtol=1e-12, err_msg=col
+        )
+
+
+FLOAT_COLS = ("naive_sim", "adj_sim", "lambda", "median_cov")
+CI_COLS = ("ani_lo", "ani_hi", "lambda_lo", "lambda_hi")
+
+
+@pytest.mark.parametrize("estimator", ["ratio", "mme"])
+def test_bootstrap_fast_matches_slow(estimator):
+    """VERDICT r3 #2: the tensorized bootstrap-CI path must reproduce the
+    per-pair seeded loop exactly (same RNG stream, same quantile picks),
+    for both fast-path estimators."""
+    rng = np.random.default_rng(99)
+    cfg = SketchConfig(estimator=estimator, bootstrap_iters=100)
+    batch = _mk_batch(_regime_pairs(rng, n=120))
+    fast = _run(udfs.make_score_arrow_fn(cfg), batch)
+    slow = _run(udfs.make_score_arrow_fn(cfg, force_slow=True), batch)
+    _assert_parity(fast, slow, FLOAT_COLS + CI_COLS)
+    # the fixture must actually produce some non-NaN CIs
+    assert np.isfinite(fast["ani_lo"].to_numpy()).sum() > 10
+
+
+def test_mme_fast_matches_slow():
+    """The mme estimator point path (folded into the fast scorer, VERDICT
+    r3 #2) matches kernels.mme_lambda via the loop."""
+    rng = np.random.default_rng(321)
+    cfg = SketchConfig(estimator="mme")
+    batch = _mk_batch(_regime_pairs(rng))
+    fast = _run(udfs.make_score_arrow_fn(cfg), batch)
+    slow = _run(udfs.make_score_arrow_fn(cfg, force_slow=True), batch)
+    _assert_parity(fast, slow, FLOAT_COLS)
+    assert set(fast["adjust_status"]) >= {"high", "lambda"}
+
+
+def test_bootstrap_chunking_invariant():
+    """CI results must not depend on the element-budget chunk boundary."""
+    rng = np.random.default_rng(5)
+    cfg = SketchConfig(bootstrap_iters=100)
+    batch = _mk_batch(_regime_pairs(rng, n=60))
+    big = _run(udfs.make_score_arrow_fn(cfg), batch)
+
+    import sylph_spark.udfs as U
+
+    orig = U._bootstrap_ci_rows
+
+    def tiny_budget(*args, **kwargs):
+        kwargs["elem_budget"] = 1  # flush after every pair
+        return orig(*args, **kwargs)
+
+    U._bootstrap_ci_rows = tiny_budget
+    try:
+        small = _run(udfs.make_score_arrow_fn(cfg), batch)
+    finally:
+        U._bootstrap_ci_rows = orig
+    for col in CI_COLS:
+        np.testing.assert_allclose(
+            big[col].to_numpy(), small[col].to_numpy(), rtol=0, atol=0
+        )
+
+
+def test_bootstrap_fast_speedup():
+    """VERDICT r3 #2 done-criterion: ≥5× pairs/s over the per-pair loop
+    with bootstrap_iters=100."""
+    import time
+
+    rng = np.random.default_rng(11)
+    cfg = SketchConfig(bootstrap_iters=100)
+    batch = _mk_batch(_regime_pairs(rng, n=300))
+    fast_fn = udfs.make_score_arrow_fn(cfg)
+    slow_fn = udfs.make_score_arrow_fn(cfg, force_slow=True)
+    _run(fast_fn, batch)  # warm
+    t0 = time.perf_counter()
+    _run(fast_fn, batch)
+    t_fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _run(slow_fn, batch)
+    t_slow = time.perf_counter() - t0
+    assert t_slow / t_fast >= 5.0, (t_fast, t_slow)
