@@ -157,17 +157,24 @@ def _release_checkpoints(spark) -> None:
         rdd.unpersist()
 
 
-def run_dedup(spark, images_path: str) -> tuple[float, int]:
-    """Returns (seconds, n_images) for a full volatile pipeline run."""
+def run_dedup(spark, images_path: str, lcs_stats: dict | None = None) -> tuple[float, int]:
+    """Returns (seconds, n_images) for a full volatile pipeline run. When
+    ``lcs_stats`` is a dict it is filled (outside the timed window) with the
+    LCS-prefilter pair-volume counters."""
     from sylph_spark.config import SketchConfig
-    from sylph_spark.pipeline import run_volatile
+    from sylph_spark.pipeline import lcs_prefilter_stats, run_volatile
 
     images = spark.read.parquet(images_path)
     n = images.count()
+    cfg = SketchConfig()
     t0 = time.time()
-    out = run_volatile(spark, images, SketchConfig())
+    out = run_volatile(spark, images, cfg)
     out["survivors"].count()  # force full materialization
     dt = time.time() - t0
+    if lcs_stats is not None:
+        lcs_stats.update(
+            lcs_prefilter_stats(spark, out["scored"], out["sketches"], cfg)
+        )
     _release_checkpoints(spark)
     return dt, n
 
@@ -196,7 +203,8 @@ def run_bench(sf_dir: str, cpus: int, n_base: int) -> dict:
         qtimes[name] = round(time.time() - t0, 3)
 
     images_path = _fixture_parquet(n_base, spark=spark)
-    dt, n_img = run_dedup(spark, images_path)
+    lcs_stats: dict = {}
+    dt, n_img = run_dedup(spark, images_path, lcs_stats=lcs_stats)
     qtimes["dedup_pipeline"] = round(dt, 3)
     total = round(sum(qtimes.values()), 3)
     result = {
@@ -209,6 +217,7 @@ def run_bench(sf_dir: str, cpus: int, n_base: int) -> dict:
         "dedup_images_per_sec": round(n_img / dt, 2),
         "scorer_microbench": _scorer_microbench(),
         "scorer_bootstrap_microbench": _bootstrap_microbench(),
+        "lcs_prefilter": lcs_stats,
         "cpus": cpus,
     }
     spark.stop()
