@@ -232,13 +232,18 @@ _DOCS_SHINGLE_DUCK = """
 
 
 def _minhash_sql(shingle_sql: str) -> str:
+    # ONE md5 per (doc, gram) row; the 4 signature slots take their minima
+    # over disjoint 8-hex-char substrings of it (4 independent 32-bit hash
+    # functions from one digest — the argmin gram differs per slot). The
+    # previous form salted 4 separate md5 calls per gram, which made the
+    # hash the dominant cost of the query (VERDICT r3 #4).
     return f"""
         SELECT doc_id,
-               MIN(MD5(CONCAT(g, '#1'))) AS mh1,
-               MIN(MD5(CONCAT(g, '#2'))) AS mh2,
-               MIN(MD5(CONCAT(g, '#3'))) AS mh3,
-               MIN(MD5(CONCAT(g, '#4'))) AS mh4
-        FROM ({shingle_sql}) sh
+               MIN(SUBSTR(fp, 1, 8)) AS mh1,
+               MIN(SUBSTR(fp, 9, 8)) AS mh2,
+               MIN(SUBSTR(fp, 17, 8)) AS mh3,
+               MIN(SUBSTR(fp, 25, 8)) AS mh4
+        FROM (SELECT doc_id, MD5(g) AS fp FROM ({shingle_sql}) sh) f
         GROUP BY doc_id
     """
 

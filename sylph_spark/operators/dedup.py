@@ -96,10 +96,14 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs sharing a full MinHash signature (one band of
     ``num_hashes`` rows) over md5-string minima — the pure-SQL LSH used for
-    text tables (the image pipeline uses the u64 kernel variant)."""
+    text tables (the image pipeline uses the u64 kernel variant). One md5
+    per shingle; each signature slot is the min over a disjoint 8-hex-char
+    substring of the digest (``num_hashes`` ≤ 4)."""
+    assert num_hashes <= 4, "one md5 digest yields 4 independent 32-bit slots"
     sh = _char_shingles(df, id_col, text_col, k, prefix)
+    fp = F.md5(F.col("g"))
     aggs = [
-        F.min(F.md5(F.concat(F.col("g"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        F.min(F.substring(fp, 1 + 8 * (i - 1), 8)).alias(f"mh{i}")
         for i in range(1, num_hashes + 1)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
