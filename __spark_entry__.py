@@ -494,45 +494,76 @@ def _q_e9_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship: full image+caption dedup pipeline on the deterministic
-    fixture corpus (FIXTURES.md), volatile run."""
+def _volatile_stage_plan_checked(spark: SparkSession, cfg, stage: str):
+    """SELF-ORACLE for the pipeline entries (no SQL analog exists because
+    the input is produced by Python kernels): run the full volatile
+    pipeline TWICE at different shuffle-partition counts and assert the
+    requested stage is identical (floats canonicalized to 9 dp — partition
+    order can move partial double sums by ULPs). A partitioning-dependent
+    bug (unsorted collect_list consumed order-sensitively, nondeterministic
+    tie-break, driver-side state) breaks the equality; the driver's
+    rows-only check then records the raised error. Returns the stage
+    DataFrame from the run at the session's own setting."""
     from sylph_spark import fixtures
-    from sylph_spark.config import SketchConfig
     from sylph_spark.pipeline import images_df_from_pandas, run_volatile
 
     images, _ = fixtures.generate_corpus(n_base=100, seed=42)
-    out = run_volatile(spark, images_df_from_pandas(spark, images), SketchConfig())
-    return out["clusters"]
+    df = images_df_from_pandas(spark, images)
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    alt = "7" if orig != "7" else "13"
+
+    def canon(out: DataFrame):
+        import math
+
+        def c(v):
+            if isinstance(v, float):
+                return "nan" if math.isnan(v) else round(v, 9)
+            return v
+
+        return sorted((tuple(c(v) for v in row) for row in out.collect()), key=repr)
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", alt)
+        alt_rows = canon(run_volatile(spark, df, cfg)[stage])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    out = run_volatile(spark, df, cfg)[stage]
+    if canon(out) != alt_rows:
+        raise AssertionError(
+            f"pipeline stage {stage!r} differs between shuffle-partition "
+            f"settings {alt} and {orig} — plan-dependent result"
+        )
+    return out
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: full image+caption dedup pipeline on the deterministic
+    fixture corpus (FIXTURES.md), volatile run, partitioning-independence
+    self-checked (see _volatile_stage_plan_checked)."""
+    from sylph_spark.config import SketchConfig
+
+    return _volatile_stage_plan_checked(spark, SketchConfig(), "clusters")
 
 
 def _q_dedup_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winner-table rescored pair scores with kmers_lost + bootstrap CI
-    columns (contain.rs:410-459, 637-645, 849-898) on the fixture corpus."""
-    from sylph_spark import fixtures
+    columns (contain.rs:410-459, 637-645, 849-898) on the fixture corpus,
+    partitioning-independence self-checked."""
     from sylph_spark.config import SketchConfig
-    from sylph_spark.pipeline import images_df_from_pandas, run_volatile
 
-    images, _ = fixtures.generate_corpus(n_base=100, seed=42)
-    out = run_volatile(
-        spark,
-        images_df_from_pandas(spark, images),
-        SketchConfig(bootstrap_iters=100),
+    out = _volatile_stage_plan_checked(
+        spark, SketchConfig(bootstrap_iters=100), "rescored"
     )
-    return out["rescored"].select(
+    return out.select(
         "id_a", "id_b", "contain_count", "kmers_lost", "adj_sim",
         "ani_lo", "ani_hi",
     )
 
 
 def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sylph_spark import fixtures
     from sylph_spark.config import SketchConfig
-    from sylph_spark.pipeline import images_df_from_pandas, run_volatile
 
-    images, _ = fixtures.generate_corpus(n_base=100, seed=42)
-    out = run_volatile(spark, images_df_from_pandas(spark, images), SketchConfig())
-    return out["survivors"]
+    return _volatile_stage_plan_checked(spark, SketchConfig(), "survivors")
 
 
 def _q_a3_approx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

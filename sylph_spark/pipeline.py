@@ -56,11 +56,13 @@ def input_fingerprint(images: DataFrame) -> str:
     fingerprint by their sorted file list: zero data scan, and any new
     snapshot/compaction changes the set. Non-file inputs (test DataFrames)
     fall back to an order-insensitive CONTENT probe (count + bit_xor of a
-    row hash over id, payload length, caption and phash — one pass, no
+    row hash over id, payload bytes, caption and phash — one pass, no
     overflow under ANSI mode): regenerated fixtures with the same ids but
     different bytes/captions must invalidate the checkpoint, not revalidate
-    it. Payload identity is proxied by length(bytes) (hashing the full
-    binary would re-scan ~100 KB/row just for a fingerprint)."""
+    it. The payload hashes by VALUE (xxhash64 over the binary) — the
+    earlier length(bytes) proxy let a same-length byte edit revalidate a
+    stale checkpoint; the full hash costs one extra scan of a test-sized
+    input only (file-backed inputs never take this path)."""
     import hashlib
     import json
 
@@ -71,7 +73,7 @@ def input_fingerprint(images: DataFrame) -> str:
         row = images.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr(
-                "bit_xor(xxhash64(image_id, length(bytes), caption, phash))"
+                "bit_xor(xxhash64(image_id, bytes, caption, phash))"
             ).alias("x"),
         ).collect()[0]
         token = f"{row['n']}:{row['x']}"

@@ -278,3 +278,32 @@ class TestMinSpacingThin:
             ).collect()
         }
         assert kept == {0, 2, 3}
+
+
+def test_write_tsv_golden(spark, tmp_path):
+    """S7 TSV sink (io/report.write_tsv): single ordered file, golden
+    header, tab-escaping via quoting — VERDICT r4 #7 (last untested op)."""
+    import glob
+
+    from sylph_spark.io.report import write_tsv
+
+    df = spark.createDataFrame(
+        [("b", 2, "x\ty"), ("a", 1, "plain"), ("c", 3, 'quo"te')],
+        "id string, n int, note string",
+    )
+    path = str(tmp_path / "tsv_out")
+    write_tsv(df, path, order_by=["id"])
+    parts = glob.glob(path + "/part-*.csv")
+    assert len(parts) == 1  # coalesce(1): ONE ordered file
+    lines = open(parts[0]).read().splitlines()
+    assert lines[0] == "id\tn\tnote"  # golden header
+    assert lines[1] == "a\t1\tplain"  # ordering applied
+    # a tab INSIDE a field must be quoted, not split the row
+    assert lines[2].split("\t", 2)[0] == "b" and '"x\ty"' in lines[2]
+    # roundtrip: reading back with the same dialect restores the rows
+    back = (
+        spark.read.option("sep", "\t").option("header", "true")
+        .option("inferSchema", "true").csv(path)
+    )
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == [("a", 1, "plain"), ("b", 2, "x\ty"), ("c", 3, 'quo"te')]

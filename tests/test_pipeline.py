@@ -215,3 +215,21 @@ def test_lcs_prefilter_identical_gated(spark, spark_result):
     assert stats["hamming_pairs"] >= stats["lcs_udf_pairs"]
     assert stats["lcs_udf_pairs"] < len(on)  # short-circuit actually fires
     assert 0.0 <= stats["lcs_udf_skipped_frac"] <= 1.0
+
+
+def test_same_length_byte_edit_changes_fingerprint(spark, corpus):
+    """VERDICT r4 #6: the non-file content probe hashes payload BYTES
+    (xxhash64), so a same-length byte edit — id, caption, phash and length
+    all unchanged — must change the fingerprint (and so invalidate any
+    committed checkpoint for it)."""
+    from sylph_spark.pipeline import input_fingerprint
+
+    images, _ = corpus
+    fp1 = input_fingerprint(images_df_from_pandas(spark, images))
+    edited = images.copy(deep=True)
+    b = bytearray(edited.at[0, "bytes"])
+    b[len(b) // 2] ^= 0xFF
+    edited.at[0, "bytes"] = bytes(b)
+    assert len(edited.at[0, "bytes"]) == len(images.at[0, "bytes"])
+    fp2 = input_fingerprint(images_df_from_pandas(spark, edited))
+    assert fp1 != fp2
