@@ -219,7 +219,7 @@ def run_bench(sf_dir: str, cpus: int, n_base: int) -> dict:
         "dedup_images_per_sec": round(n_img / dt, 2),
         "scorer_microbench": _scorer_microbench(),
         "scorer_bootstrap_microbench": _bootstrap_microbench(),
-        "lcs_prefilter": lcs_stats,
+        "lcs_short_circuit": lcs_stats,
         "cpus": cpus,
     }
     spark.stop()

