@@ -689,6 +689,10 @@ by chunked pair-generation + AQE skew-join. Dup-pair recall on this same
 480k corpus and config: 0.9912 ≥ 0.99 with 0 false merges
 (`scripts/recall_at_scale.py`).
 """
+    notes = os.path.join(os.path.dirname(WINDOWS_PATH), "scaling_notes.md")
+    if os.path.exists(notes):
+        with open(notes) as f:
+            md += "\n" + f.read()
     os.makedirs(os.path.dirname(WINDOWS_PATH), exist_ok=True)
     with open(os.path.join(os.path.dirname(WINDOWS_PATH), "BASELINE.md"), "w") as f:
         f.write(md)
