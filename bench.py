@@ -159,10 +159,17 @@ def _release_checkpoints(spark) -> None:
         rdd.unpersist()
 
 
-def run_dedup(spark, images_path: str, lcs_stats: dict | None = None) -> tuple[float, int]:
+def run_dedup(
+    spark,
+    images_path: str,
+    lcs_stats: dict | None = None,
+    stage_times: dict | None = None,
+) -> tuple[float, int]:
     """Returns (seconds, n_images) for a full volatile pipeline run. When
     ``lcs_stats`` is a dict it is filled (outside the timed window) with the
-    LCS-prefilter pair-volume counters."""
+    LCS-prefilter pair-volume counters. ``stage_times`` (optional dict) gets
+    the per-barrier wall seconds — the scaling window records it for both
+    legs so BENCH/BASELINE.md can attribute WHERE 2→8-core efficiency goes."""
     from sylph_spark.config import SketchConfig
     from sylph_spark.pipeline import lcs_prefilter_stats, run_volatile
 
@@ -170,9 +177,12 @@ def run_dedup(spark, images_path: str, lcs_stats: dict | None = None) -> tuple[f
     n = images.count()
     cfg = SketchConfig()
     t0 = time.time()
-    out = run_volatile(spark, images, cfg)
+    out = run_volatile(spark, images, cfg, stage_times=stage_times)
+    t1 = time.time()
     out["survivors"].count()  # force full materialization
     dt = time.time() - t0
+    if stage_times is not None:
+        stage_times["survivors"] = round(time.time() - t1, 3)
     if lcs_stats is not None:
         lcs_stats.update(
             lcs_prefilter_stats(spark, out["scored"], out["sketches"], cfg)
@@ -257,8 +267,9 @@ print(json.dumps({{"ready": True}}), flush=True)
 for line in sys.stdin:
     if line.strip() == "quit":
         break
-    dt, n = bench.run_dedup(spark, {path!r})
-    print(json.dumps({{"sec": dt, "images": n, "ips": n / dt}}), flush=True)
+    st = {{}}
+    dt, n = bench.run_dedup(spark, {path!r}, stage_times=st)
+    print(json.dumps({{"sec": dt, "images": n, "ips": n / dt, "stages": st}}), flush=True)
 spark.stop()
 """
 
@@ -505,12 +516,14 @@ def run_scaling_window(n_base: int, px: int = 64) -> dict:
                 rd["kernel_lo_ips"] = _kernel_ips(lo, sample)
             t = leg_lo.run()
             rd["t_lo"], window["n_images"] = t["sec"], t["images"]
+            rd["stages_lo"] = t.get("stages", {})
             rd["ctrl_hi_ops"] = _cpu_ops(hi)
             if heavy:
                 rd["bw_hi_gbs"] = _bw_gbs(hi)
                 rd["kernel_hi_ips"] = _kernel_ips(hi, sample)
             t = leg_hi.run()
             rd["t_hi"] = t["sec"]
+            rd["stages_hi"] = t.get("stages", {})
             rd["raw_eff"] = round((rd["t_lo"] / rd["t_hi"]) / ratio, 4)
             rd["ctrl_eff"] = round(
                 (rd["ctrl_hi_ops"] / rd["ctrl_lo_ops"]) / ratio, 4
@@ -539,6 +552,23 @@ def run_scaling_window(n_base: int, px: int = 64) -> dict:
     if heavy:
         window["bw_eff"] = round(_median([r["bw_eff"] for r in rs]), 4)
         window["kernel_eff"] = round(_median([r["kernel_eff"] for r in rs]), 4)
+    # per-stage attribution: median stage time per leg across rounds, and
+    # the stage's own raw N→4N efficiency — pinpoints WHICH barrier loses
+    # scaling (serial floor vs bus-bound vs well-scaling shuffle stages)
+    stage_names = sorted(
+        {k for r in rs for k in r.get("stages_lo", {})}
+        & {k for r in rs for k in r.get("stages_hi", {})}
+    )
+    if stage_names:
+        window["stage_eff"] = {}
+        for sname in stage_names:
+            slo = _median([r["stages_lo"][sname] for r in rs if sname in r.get("stages_lo", {})])
+            shi = _median([r["stages_hi"][sname] for r in rs if sname in r.get("stages_hi", {})])
+            window["stage_eff"][sname] = {
+                "t_lo": round(slo, 2),
+                "t_hi": round(shi, 2),
+                "eff": round((slo / shi) / ratio, 4) if shi > 0 else None,
+            }
     with open(WINDOWS_PATH, "a") as f:
         f.write(json.dumps(window) + "\n")
     write_scaling_md()
@@ -577,6 +607,32 @@ def write_scaling_md() -> None:
                 row += f" {w.get('bw_eff', 0):.3f} | {w.get('kernel_eff', 0):.3f} |"
             lines.append(row)
         return "\n".join(lines)
+
+    def stage_table(ws: list[dict]) -> str:
+        """Per-stage attribution table for windows that recorded it."""
+        rows = []
+        for w in ws:
+            se = w.get("stage_eff")
+            if not se:
+                continue
+            rows.append(f"\nWindow {w['ts']} (median stage seconds per leg):\n")
+            rows.append("| stage barrier | T_N s | T_4N s | stage raw eff |")
+            rows.append("|---|---|---|---|")
+            for sname, v in se.items():
+                eff = f"{v['eff']:.3f}" if v["eff"] is not None else "—"
+                rows.append(
+                    f"| {sname} | {v['t_lo']:.2f} | {v['t_hi']:.2f} | {eff} |"
+                )
+        if not rows:
+            return ""
+        return (
+            "\n### Per-stage scaling attribution\n\nEach timed run reports "
+            "the wall seconds of every eager materialization barrier "
+            "(lazy single-consumer stages fuse into the next barrier). "
+            "A stage whose own eff ≪ the window's raw eff is where "
+            "scaling goes to die — serial floor or bus-bound; a stage "
+            "at ≈ 1.0 scales cleanly with cores.\n" + "\n".join(rows)
+        )
 
     def round_detail(ws: list[dict]) -> str:
         lines = [
@@ -661,6 +717,7 @@ the session.
 Per-round detail (every leg time with its same-minute control):
 
 {round_detail(light)}
+{stage_table(light)}
 {heavy_section}
 ## Why the control-normalized number is the right scale-up predictor
 

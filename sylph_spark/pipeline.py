@@ -614,30 +614,69 @@ class DedupPipeline:
 
 
 def run_volatile(
-    spark: SparkSession, images: DataFrame, cfg: SketchConfig
+    spark: SparkSession,
+    images: DataFrame,
+    cfg: SketchConfig,
+    stage_times: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Run all stages in-memory (localCheckpoint between stages, no catalog).
-    For tests/smoke runs; production runs use DedupPipeline.run (resumable)."""
+    For tests/smoke runs; production runs use DedupPipeline.run (resumable).
+
+    ``stage_times``: optional dict filled with the wall seconds each EAGER
+    materialization barrier took (localCheckpoint / count / the CC driver
+    loop) — the per-stage attribution behind the scaling-efficiency
+    evidence (BENCH/BASELINE.md). Lazy single-consumer stages (candidates,
+    rescored, survivors) are fused by Catalyst into the next barrier and
+    show up there."""
+    import time as _t
+
+    def timed(name, fn):
+        t0 = _t.time()
+        out = fn()
+        if stage_times is not None:
+            stage_times[name] = round(
+                stage_times.get(name, 0.0) + _t.time() - t0, 3
+            )
+        return out
+
     p = DedupPipeline.__new__(DedupPipeline)
     p.spark, p.cfg = spark, cfg
     # only sketches is consumed by 4 downstream stages — checkpoint it once;
     # everything else is single-consumer and stays lazily fused by Catalyst
     # (the CC loop materializes the edge chain exactly once itself)
     with heavy_payload_batches(spark):  # image-bytes stage only
-        sketches = p._stage_sketches(images).localCheckpoint()
-    counts = p._stage_shingle_counts(sketches).localCheckpoint()  # 2 consumers
-    n_items = sketches.count()
-    candidates = p._stage_candidates(sketches, counts, n_items, counts.count())
-    # pair_shingles feeds scored + rescored (both scoring passes)
-    pair_shingles = p._stage_pair_shingles(
-        candidates, sketches, counts
-    ).localCheckpoint()
+        sketches = timed(
+            "sketches", lambda: p._stage_sketches(images).localCheckpoint()
+        )
+    counts = timed(  # 2 consumers
+        "shingle_counts",
+        lambda: p._stage_shingle_counts(sketches).localCheckpoint(),
+    )
+    n_items = timed("counts(2)", lambda: sketches.count())
+    n_vocab = timed("counts(2)", lambda: counts.count())  # same bucket: 2 tiny counts
+    candidates = p._stage_candidates(sketches, counts, n_items, n_vocab)
+    # pair_shingles feeds scored + rescored (both scoring passes);
+    # the lazy candidates stage materializes inside this barrier
+    pair_shingles = timed(
+        "cands+pair_shingles",
+        lambda: p._stage_pair_shingles(
+            candidates, sketches, counts
+        ).localCheckpoint(),
+    )
     # scored feeds gated + rescored (item scores)
-    scored = p._stage_scored(pair_shingles).localCheckpoint()
-    gated = p._stage_gated(scored, sketches).localCheckpoint()  # 2 consumers
+    scored = timed(
+        "scored", lambda: p._stage_scored(pair_shingles).localCheckpoint()
+    )
+    gated = timed(  # 2 consumers
+        "gated", lambda: p._stage_gated(scored, sketches).localCheckpoint()
+    )
     rescored = p._stage_rescored(scored, pair_shingles, sketches, counts, n_items)
-    verified = p._stage_verified(rescored, gated).localCheckpoint()  # 2 consumers
-    clusters = p._stage_clusters(sketches, gated)
+    verified = timed(  # 2 consumers; lazy rescored materializes here
+        "rescored+verified",
+        lambda: p._stage_verified(rescored, gated).localCheckpoint(),
+    )
+    # the CC driver loop (bounded Arrow collect + numpy) runs at call time
+    clusters = timed("clusters(cc)", lambda: p._stage_clusters(sketches, gated))
     survivors = p._stage_survivors(clusters, verified)
     return {
         "sketches": sketches,
