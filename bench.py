@@ -306,7 +306,24 @@ class _Leg:
             bufsize=1,
             env={
                 **os.environ,
-                "SYLPH_DRIVER_MEM": os.environ.get("SYLPH_DRIVER_MEM", "24g"),
+                # heap scales WITH the leg's core count (3 GiB/core): the
+                # north rule compares N vs 4N EXECUTORS, and a real cluster's
+                # total memory grows with executor count. A fixed heap for
+                # both legs would hand the small leg 4× the per-core memory
+                # and charge the big leg 4× the GC pressure on one heap —
+                # measuring an artifact no multi-executor cluster has.
+                "SYLPH_DRIVER_MEM": os.environ.get(
+                    "SYLPH_DRIVER_MEM", f"{4 * cpus}g"
+                ),
+                # numpy's BLAS/OMP pools size themselves to the HOST's 32
+                # cores, not the taskset mask — a 2-core leg would run 2
+                # Python workers × 32 BLAS threads on 2 cores while the
+                # 8-core leg oversubscribes 4× less, biasing the comparison.
+                # The kernels are hash/segment math (no GEMM), so 1 thread
+                # per worker is both fair and fastest under pinning.
+                "OPENBLAS_NUM_THREADS": "1",
+                "OMP_NUM_THREADS": "1",
+                "MKL_NUM_THREADS": "1",
             },
         )
 

@@ -273,6 +273,176 @@ def image_shingles(
 
 
 # ---------------------------------------------------------------------------
+# Whole-batch sketch kernels — bit-identical to the per-image functions
+# above, vectorized across an Arrow batch. The per-image path runs ~30
+# small-array numpy calls per image (overhead-dominated at 64×64 px); the
+# batch path groups images by pixel shape, computes every grid/window/hash
+# over one (n_images, …) tensor per group, and resolves per-image SETS with
+# one lexsort over (image, value) pairs. The graft analog of the reference's
+# AVX2 batch seeding (avx2_seeding.rs:33-148: same rolling-window hash math,
+# restructured to process many positions per instruction); here "SIMD lane"
+# = numpy tensor row. Parity is enforced by
+# tests/test_kernels.py::TestSketchBatchParity (measured 2.6× per core over
+# the per-image path at px64, decode excluded).
+# ---------------------------------------------------------------------------
+
+
+def _pack_windows_u64_2d(b2d: np.ndarray, k: int) -> np.ndarray:
+    """_pack_windows_u64 over every row of a (m, nb) byte matrix at once.
+    Windows slide WITHIN rows only (no cross-image contamination)."""
+    n = b2d.shape[1] - k + 1
+    if n <= 0:
+        return np.empty((b2d.shape[0], 0), dtype=U64)
+    b = b2d.astype(U64, copy=False)
+    out = np.zeros((b2d.shape[0], n), dtype=U64)
+    for i in range(k):
+        out = (out << U64(8)) | b[:, i : i + n]
+    return out
+
+
+def _unique_per_segment(pid: np.ndarray, vals: np.ndarray):
+    """(pid, vals) pairs → per-pid SORTED UNIQUE values as (pid, vals) flat
+    arrays ordered by (pid, val) — the batch analog of np.unique per item."""
+    if vals.size == 0:
+        return pid[:0], vals[:0]
+    order = np.lexsort((vals, pid))
+    p, v = pid[order], vals[order]
+    keep = np.ones(p.size, dtype=bool)
+    keep[1:] = (p[1:] != p[:-1]) | (v[1:] != v[:-1])
+    return p[keep], v[keep]
+
+
+def image_shingles_batch(
+    grays: list, block_px: int, q_shift: int, k_block: int, c: int, n_grids: int = 2
+):
+    """image_shingles over a whole batch: returns (pid, vals) flat pairs,
+    sorted by (pid, val) — identical values to calling image_shingles per
+    image. Images are grouped by shape so each group is one tensor pass."""
+    n = len(grays)
+    by_shape: dict[tuple, list[int]] = {}
+    for i, g in enumerate(grays):
+        by_shape.setdefault(g.shape, []).append(i)
+    pids, vals = [], []
+    thr = U64(fracminhash_threshold(c)) if c > 1 else None
+    offsets = [g / n_grids for g in range(n_grids)]
+    for shape, idxs in by_shape.items():
+        bp = block_px if block_px else max(2, min(shape) // 8)
+        h, w = shape
+        bh, bw_n = h // bp, w // bp
+        if bh == 0 or bw_n == 0:
+            continue
+        G = np.stack([grays[i][: bh * bp, : bw_n * bp] for i in idxs])
+        if G.dtype not in (np.float32, np.float64):
+            G = G.astype(np.float32)
+        m = len(idxs)
+        # (block mean − image mean) for the whole group in one pass; the
+        # image mean is over the TRIMMED pixels, exactly like block_mean_diff
+        blocks = G.reshape(m, bh, bp, bw_n, bp).mean(axis=(2, 4), dtype=np.float64)
+        means = G.reshape(m, -1).mean(axis=1, dtype=np.float64)
+        diff = blocks.reshape(m, -1) - means[:, None]
+        step = float(1 << q_shift)
+        bw_tag = U64(bw_n & 0x3F)
+        idx_arr = np.asarray(idxs, dtype=np.int64)
+        nb = bh * bw_n
+        nwin = nb - k_block + 1
+        if nwin <= 0:
+            continue
+        pos_tag = np.arange(nwin, dtype=U64) << U64(40)
+        for gi, grid_offset in enumerate(offsets):
+            q = (
+                np.clip(np.floor(diff / step + grid_offset), -8, 7).astype(np.int64)
+                + 8
+            ).astype(np.uint8)
+            packed = _pack_windows_u64_2d(q, k_block)
+            packed = (
+                packed
+                | pos_tag[None, :]
+                | (U64(gi) << U64(56))
+                | (bw_tag << U64(58))
+            )
+            hashed = mm_hash64_np((packed ^ SALT_IMAGE).ravel())
+            p = np.repeat(idx_arr, nwin)
+            if thr is not None:
+                keep = hashed < thr
+                hashed, p = hashed[keep], p[keep]
+            vals.append(hashed)
+            pids.append(p)
+    if not vals:
+        return np.empty(0, np.int64), np.empty(0, U64)
+    return _unique_per_segment(np.concatenate(pids), np.concatenate(vals))
+
+
+def caption_shingles_batch(captions: list, k: int, c: int):
+    """caption_shingles over a whole batch → (pid, vals) sorted flat pairs."""
+    bufs = [
+        np.frombuffer(cap.encode("utf-8", errors="replace"), dtype=np.uint8)
+        for cap in captions
+    ]
+    lens = np.array([b.size for b in bufs], dtype=np.int64)
+    if lens.sum() == 0:
+        return np.empty(0, np.int64), np.empty(0, U64)
+    flat = np.concatenate([b for b in bufs if b.size])
+    packed_all = _pack_windows_u64(flat, k)  # windows over the flat buffer
+    # valid windows: the first max(len-k+1, 0) positions of each caption
+    nwin = np.maximum(lens - k + 1, 0)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pid = np.repeat(np.arange(lens.size, dtype=np.int64), nwin)
+    # index of each valid window in the flat packed array
+    within = np.arange(pid.size, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(nwin)[:-1])), nwin
+    )
+    idx = np.repeat(starts, nwin) + within
+    if idx.size == 0:
+        return np.empty(0, np.int64), np.empty(0, U64)
+    hashed = mm_hash64_np(packed_all[idx] ^ SALT_CAPTION)
+    if c > 1:
+        thr = U64(fracminhash_threshold(c))
+        keep = hashed < thr
+        hashed, pid = hashed[keep], pid[keep]
+    return _unique_per_segment(pid, hashed)
+
+
+# byte → 8 bits (LSB first): expands a u64's little-endian byte view into
+# its 64 bits with one table lookup instead of 64 shift-and-mask passes
+_BIT_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1, bitorder="little"
+)
+
+
+def simhash64_batch(pid: np.ndarray, vals: np.ndarray, n_items: int) -> np.ndarray:
+    """simhash64 over per-item shingle sets given as (pid, vals) flat pairs
+    (pid non-decreasing). Items with no shingles hash to 0, as the scalar."""
+    out = np.zeros(n_items, dtype=U64)
+    if vals.size == 0:
+        return out
+    h = mm_hash64_np(vals.astype(U64) ^ SALT_SIMHASH)
+    # uint8 bit matrix (n, 64) via byte LUT — 8× smaller than the int64
+    # shift-and-mask expansion; reduceat accumulates in int64 regardless
+    hb = h.astype("<u8", copy=False).view(np.uint8)  # LE bytes on any host
+    bits = _BIT_LUT[hb.reshape(h.size, 8)].reshape(h.size, 64)
+    newseg = np.ones(pid.size, dtype=bool)
+    newseg[1:] = pid[1:] != pid[:-1]
+    seg_starts = np.flatnonzero(newseg)
+    present = pid[seg_starts]
+    sums = np.add.reduceat(bits, seg_starts, axis=0, dtype=np.int64)
+    sizes = np.diff(np.append(seg_starts, pid.size))
+    votes = sums * 2 - sizes[:, None]
+    packed = (
+        (votes > 0).astype(U64) << np.arange(64, dtype=U64)[None, :]
+    ).sum(axis=1, dtype=U64)
+    out[present] = packed
+    return out
+
+
+def union_per_segment(pid_a, vals_a, pid_b, vals_b):
+    """Per-item set union of two (pid, vals) sorted flat pair sets —
+    the batch analog of np.union1d per item."""
+    return _unique_per_segment(
+        np.concatenate([pid_a, pid_b]), np.concatenate([vals_a, vals_b])
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash signatures + LSH banding (graft: replaces all-pairs contain.rs:266-292)
 # ---------------------------------------------------------------------------
 

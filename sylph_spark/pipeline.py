@@ -322,10 +322,14 @@ class DedupPipeline:
         inter = cand.select(
             "id_a", "id_b", "total_kmers", F.explode("inter").alias("shingle")
         )
-        # the (small) counts table joins in — broadcast under the AQE
-        # threshold
+        # every intersecting shingle occurs in BOTH pair members, so its
+        # corpus count is ≥ 2 by construction — joining against the cnt ≥ 2
+        # slice is lossless and shrinks the join's build side from the full
+        # vocabulary (dominated by df=1 singletons) to the shared tail,
+        # usually under the AQE broadcast threshold: the exploded pair-side
+        # then never shuffles by shingle at all
         return (
-            inter.join(counts, "shingle")
+            inter.join(counts.filter(F.col("cnt") >= 2), "shingle")
             .groupBy("id_a", "id_b", "total_kmers")
             .agg(F.collect_list(F.struct("shingle", "cnt")).alias("inter_cnt"))
         )

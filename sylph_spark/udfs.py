@@ -40,7 +40,12 @@ def _i64(v: int) -> int:
 def make_sketch_arrow_fn(cfg: SketchConfig):
     """mapInArrow variant of the sketch stage: builds the shingle ListArray
     directly from numpy offsets+values — no per-element Python boxing.
-    ~20× less serialization overhead than the pandas path on wide batches."""
+
+    Whole-batch vectorized: decode stays per image (zlib is a C call), but
+    every grid/window/hash/select/unique step runs over ONE tensor per
+    pixel-shape group (kernels.image_shingles_batch etc.) instead of ~30
+    small-array numpy calls per image — bit-identical sets (parity test in
+    tests/test_kernels.py)."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -50,42 +55,40 @@ def make_sketch_arrow_fn(cfg: SketchConfig):
             fmts = tbl.column(tbl.schema.get_field_index("fmt")).to_pylist()
             caps = tbl.column(tbl.schema.get_field_index("caption")).to_pylist()
             n = len(ids)
-            chunks, img_chunks, cap_chunks = [], [], []
-            offsets = np.zeros(n + 1, dtype=np.int32)
-            img_offsets = np.zeros(n + 1, dtype=np.int32)
-            cap_offsets = np.zeros(n + 1, dtype=np.int32)
-            n_sh = np.zeros(n, dtype=np.int32)
-            sims = np.zeros(n, dtype=np.int64)
-            for i in range(n):
-                gray = codecs.to_gray(codecs.decode_image(bys[i], fmts[i]))
-                img_sh = K.image_shingles(
-                    gray, cfg.block_px, cfg.q_shift, cfg.k_block, cfg.c, cfg.n_grids
-                )
-                cap_sh = K.caption_shingles(caps[i], cfg.k_caption, cfg.c)
-                sh = np.union1d(img_sh, cap_sh)
-                chunks.append(K.u64_to_i64(sh))
-                img_chunks.append(K.u64_to_i64(img_sh))
-                cap_chunks.append(K.u64_to_i64(cap_sh))
-                offsets[i + 1] = offsets[i] + sh.size
-                img_offsets[i + 1] = img_offsets[i] + img_sh.size
-                cap_offsets[i + 1] = cap_offsets[i] + cap_sh.size
-                n_sh[i] = sh.size
-                sims[i] = _i64(K.simhash64(sh))
+            grays = [
+                codecs.to_gray(codecs.decode_image(bys[i], fmts[i]))
+                for i in range(n)
+            ]
+            img_pid, img_vals = K.image_shingles_batch(
+                grays, cfg.block_px, cfg.q_shift, cfg.k_block, cfg.c, cfg.n_grids
+            )
+            cap_pid, cap_vals = K.caption_shingles_batch(
+                caps, cfg.k_caption, cfg.c
+            )
+            uni_pid, uni_vals = K.union_per_segment(
+                img_pid, img_vals, cap_pid, cap_vals
+            )
+            sims = K.simhash64_batch(uni_pid, uni_vals, n)
 
-            def list_arr(offs, chks):
-                vals = np.concatenate(chks) if chks else np.empty(0, dtype=np.int64)
+            def list_arr(pid, vals):
+                counts = np.bincount(pid, minlength=n)
+                offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
                 return pa.ListArray.from_arrays(
-                    pa.array(offs, pa.int32()), pa.array(vals, pa.int64())
-                )
+                    pa.array(offs, pa.int32()),
+                    pa.array(K.u64_to_i64(vals), pa.int64()),
+                ), counts
 
+            uni_arr, n_sh = list_arr(uni_pid, uni_vals)
+            img_arr, _ = list_arr(img_pid, img_vals)
+            cap_arr, _ = list_arr(cap_pid, cap_vals)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, pa.string()),
-                    list_arr(offsets, chunks),
-                    list_arr(img_offsets, img_chunks),
-                    list_arr(cap_offsets, cap_chunks),
-                    pa.array(n_sh, pa.int32()),
-                    pa.array(sims, pa.int64()),
+                    uni_arr,
+                    img_arr,
+                    cap_arr,
+                    pa.array(n_sh.astype(np.int32), pa.int32()),
+                    pa.array(K.u64_to_i64(sims), pa.int64()),
                     pa.array(caps, pa.string()),
                 ],
                 names=[

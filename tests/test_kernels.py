@@ -282,3 +282,49 @@ class TestSuffixLCS:
             ab, bb = a.encode(), b.encode()
             assert K._lcs_suffix_automaton(ab, bb) == best
             assert K._lcs_suffix_array(ab, bb) == best
+
+
+class TestSketchBatchParity:
+    """The whole-batch sketch kernels must be BIT-identical to the per-image
+    path (the batch path is what runs in production's mapInArrow)."""
+
+    def _corpus(self):
+        from sylph_spark import codecs
+        from sylph_spark.fixtures import generate_corpus
+
+        images, _ = generate_corpus(40, seed=7)  # mixes 32/64/128 px + fmts
+        grays = [
+            codecs.to_gray(codecs.decode_image(b, f))
+            for b, f in zip(images["bytes"], images["fmt"])
+        ]
+        caps = list(images["caption"])
+        # edge cases: empty caption, caption shorter than k, tiny image
+        caps[0] = ""
+        caps[1] = "ab"
+        grays[2] = np.zeros((3, 3), dtype=np.float32)  # nb < k_block → no shingles
+        return grays, caps
+
+    def test_image_caption_union_simhash_parity(self):
+        from sylph_spark.config import SketchConfig
+
+        cfg = SketchConfig()
+        grays, caps = self._corpus()
+        n = len(grays)
+        img_pid, img_vals = K.image_shingles_batch(
+            grays, cfg.block_px, cfg.q_shift, cfg.k_block, cfg.c, cfg.n_grids
+        )
+        cap_pid, cap_vals = K.caption_shingles_batch(caps, cfg.k_caption, cfg.c)
+        uni_pid, uni_vals = K.union_per_segment(
+            img_pid, img_vals, cap_pid, cap_vals
+        )
+        sims = K.simhash64_batch(uni_pid, uni_vals, n)
+        for i in range(n):
+            img_ref = K.image_shingles(
+                grays[i], cfg.block_px, cfg.q_shift, cfg.k_block, cfg.c, cfg.n_grids
+            )
+            cap_ref = K.caption_shingles(caps[i], cfg.k_caption, cfg.c)
+            uni_ref = np.union1d(img_ref, cap_ref)
+            np.testing.assert_array_equal(img_vals[img_pid == i], img_ref)
+            np.testing.assert_array_equal(cap_vals[cap_pid == i], cap_ref)
+            np.testing.assert_array_equal(uni_vals[uni_pid == i], uni_ref)
+            assert int(sims[i]) == K.simhash64(uni_ref)
