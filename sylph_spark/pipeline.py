@@ -392,9 +392,25 @@ class DedupPipeline:
             .groupBy("image_id")
             .agg(F.max("adj_sim").alias("item_score"))
         )
-        rare = counts.filter(
-            F.col("cnt") <= self._band_df_limit(n_items)
-        ).select("shingle")
+        # Only shingles that occur in a FIRST-PASS pair intersection can
+        # arbitrate a rescore (`owned` left-joins the winner table onto ex;
+        # winners for any other shingle are dead rows). pair_shingles already
+        # carries each intersecting shingle WITH its corpus count, so the
+        # repeat mask (cnt ≤ banding df limit — boilerplate never competes,
+        # sketch.rs:595-600) needs no join against the vocabulary-sized rare
+        # table: filter on the carried cnt and dedupe. |needed| ≈ shared
+        # shingles of first-pass pairs ≪ |rare| ≈ the whole vocabulary, so
+        # the winner-table semi-join broadcasts where the old rare join was
+        # a two-sided vocab-scale sort-merge — the stage attribution's
+        # worst-scaling heavy barrier (BENCH/BASELINE.md per-stage table).
+        limit = self._band_df_limit(n_items)
+        needed = (
+            pair_shingles.join(first.select("id_a", "id_b"), ["id_a", "id_b"])
+            .select(F.explode("inter_cnt").alias("e"))
+            .filter(F.col("e.cnt") <= limit)
+            .select(F.col("e.shingle").alias("shingle"))
+            .distinct()
+        )
         # preliminary clusters = competition scope (first-pass edges only;
         # nodes restricted to first-pass participants, a small table)
         pre = connected_components(
@@ -409,7 +425,7 @@ class DedupPipeline:
                 "item_score",
                 F.explode("shingles").alias("shingle"),
             )
-            .join(rare, "shingle")  # repeat mask: boilerplate never competes
+            .join(needed, "shingle")
             .groupBy("pre_cluster", "shingle")
             .agg(
                 F.expr("max_by(image_id, struct(item_score, image_id))").alias(
