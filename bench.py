@@ -346,6 +346,69 @@ class _Leg:
         self.log.close()
 
 
+_PROBE_SERVER = """
+import json, sys, time
+n = {n}
+def spin(n):
+    x = 1.0
+    for _ in range(n):
+        x = x * 1.0000001 + 0.1
+        x = x - int(x)
+    return x
+spin(n // 4)  # warm the interpreter loop
+out = open({out!r}, "w", buffering=1)
+while True:
+    t0 = time.time()
+    spin(n)
+    t1 = time.time()
+    out.write(json.dumps({{"t0": t0, "t1": t1, "ops": n / (t1 - t0)}}) + "\\n")
+    time.sleep({gap})
+"""
+
+
+class _Probe:
+    """Concurrent host-speed probe: one single-core spin pinned to a core
+    DISJOINT from both legs, sampling ~0.4 s bursts at ~35% duty cycle for
+    the whole window. Each leg run is then assigned the median per-core
+    probe speed measured DURING that run — so the host factor and the leg
+    sample the SAME seconds, not adjacent minutes (the residual gap in the
+    r3 interleaved protocol: runs are minutes long, hypervisor throttling
+    changes faster). Under any host-wide throttle (steal time or a
+    CPU quota shared by all busy vCPUs) the probe core slows by the same
+    factor as the leg cores; cctrl_eff = speed(during hi leg) /
+    speed(during lo leg) is the host's own contribution to the measured
+    raw efficiency, and raw / cctrl_eff is the pipeline's."""
+
+    def __init__(self, core: str, out_path: str, n: int = 3_000_000,
+                 gap: float = 0.7):
+        import subprocess
+
+        open(out_path, "w").close()
+        self.out_path = out_path
+        self.proc = subprocess.Popen(
+            ["taskset", "-c", core, sys.executable, "-c",
+             _PROBE_SERVER.format(n=n, out=out_path, gap=gap)],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def speed(self, t0: float, t1: float) -> float | None:
+        """Median probe ops/s over samples fully inside [t0, t1]."""
+        xs = []
+        with open(self.out_path) as f:
+            for line in f:
+                try:
+                    s = json.loads(line)
+                except ValueError:
+                    continue  # torn final line while the probe writes
+                if s["t0"] >= t0 and s["t1"] <= t1:
+                    xs.append(s["ops"])
+        return _median(xs) if xs else None
+
+    def close(self) -> None:
+        self.proc.kill()
+
+
 def _spin(n: int) -> float:
     x = 1.0
     for _ in range(n):
@@ -514,6 +577,13 @@ def run_scaling_window(n_base: int, px: int = 64) -> dict:
     log_dir = os.path.dirname(WINDOWS_PATH)
     leg_lo = _Leg(lo, cores[lo], path, os.path.join(log_dir, f"leg{lo}.log"))
     leg_hi = _Leg(hi, cores[hi], path, os.path.join(log_dir, f"leg{hi}.log"))
+    # concurrent host probe on a core disjoint from both legs: samples
+    # per-core host speed every ~1.1 s for the whole window, so each leg
+    # run can be assigned the host factor of its OWN seconds
+    probe = _Probe(
+        str(min(lo + hi, os.cpu_count() - 1)),
+        os.path.join(log_dir, "probe.jsonl"),
+    )
     leg_lo.wait_ready()
     leg_hi.wait_ready()
 
@@ -531,14 +601,18 @@ def run_scaling_window(n_base: int, px: int = 64) -> dict:
             if heavy:
                 rd["bw_lo_gbs"] = _bw_gbs(lo)
                 rd["kernel_lo_ips"] = _kernel_ips(lo, sample)
+            w0 = _t.time()
             t = leg_lo.run()
+            w1 = _t.time()
             rd["t_lo"], window["n_images"] = t["sec"], t["images"]
             rd["stages_lo"] = t.get("stages", {})
             rd["ctrl_hi_ops"] = _cpu_ops(hi)
             if heavy:
                 rd["bw_hi_gbs"] = _bw_gbs(hi)
                 rd["kernel_hi_ips"] = _kernel_ips(hi, sample)
+            w2 = _t.time()
             t = leg_hi.run()
+            w3 = _t.time()
             rd["t_hi"] = t["sec"]
             rd["stages_hi"] = t.get("stages", {})
             rd["raw_eff"] = round((rd["t_lo"] / rd["t_hi"]) / ratio, 4)
@@ -546,6 +620,15 @@ def run_scaling_window(n_base: int, px: int = 64) -> dict:
                 (rd["ctrl_hi_ops"] / rd["ctrl_lo_ops"]) / ratio, 4
             )
             rd["norm_eff"] = round(rd["raw_eff"] / rd["ctrl_eff"], 4)
+            # same-seconds host factor: probe per-core speed DURING each
+            # leg run; pctrl_eff is the host's own contribution to raw_eff
+            p_lo = probe.speed(w0, w1)
+            p_hi = probe.speed(w2, w3)
+            if p_lo and p_hi:
+                rd["probe_lo_ops"] = round(p_lo)
+                rd["probe_hi_ops"] = round(p_hi)
+                rd["pctrl_eff"] = round(p_hi / p_lo, 4)
+                rd["pnorm_eff"] = round(rd["raw_eff"] / rd["pctrl_eff"], 4)
             if heavy:
                 rd["bw_eff"] = round((rd["bw_hi_gbs"] / rd["bw_lo_gbs"]) / ratio, 4)
                 rd["kernel_eff"] = round(
@@ -556,6 +639,7 @@ def run_scaling_window(n_base: int, px: int = 64) -> dict:
     finally:
         leg_lo.close()
         leg_hi.close()
+        probe.close()
 
     rs = window["rounds"]
     med_lo, med_hi = _median([r["t_lo"] for r in rs]), _median([r["t_hi"] for r in rs])
@@ -563,6 +647,10 @@ def run_scaling_window(n_base: int, px: int = 64) -> dict:
     window["median_t_hi"] = round(med_hi, 2)
     window["raw_eff"] = round((med_lo / med_hi) / ratio, 4)
     window["ctrl_eff"] = round(_median([r["ctrl_eff"] for r in rs]), 4)
+    pcs = [r["pctrl_eff"] for r in rs if "pctrl_eff" in r]
+    if pcs:
+        window["pctrl_eff"] = round(_median(pcs), 4)
+        window["pnorm_eff"] = round(window["raw_eff"] / window["pctrl_eff"], 4)
     window["norm_eff"] = round(window["raw_eff"] / window["ctrl_eff"], 4)
     window["ips_lo"] = round(window["n_images"] / med_lo, 1)
     window["ips_hi"] = round(window["n_images"] / med_hi, 1)
@@ -606,19 +694,23 @@ def write_scaling_md() -> None:
     def wtable(ws: list[dict], extra_cols: bool = False) -> str:
         hdr = (
             "| window (local time) | rounds | med T_N s | med T_4N s | "
-            "img/s @N | img/s @4N | raw eff | ctrl eff | normalized |"
+            "img/s @N | img/s @4N | raw eff | ctrl eff | normalized | "
+            "probe ctrl | probe-norm |"
         )
-        sep = "|---|---|---|---|---|---|---|---|---|"
+        sep = "|---|---|---|---|---|---|---|---|---|---|---|"
         if extra_cols:
             hdr = hdr[:-1] + " bw eff | kernel eff |"
             sep += "---|---|"
         lines = [hdr, sep]
         for w in ws:
+            pc = f"{w['pctrl_eff']:.3f}" if "pctrl_eff" in w else "—"
+            pn = f"**{w['pnorm_eff']:.3f}**" if "pnorm_eff" in w else "—"
             row = (
                 f"| {w['ts']} | {len(w['rounds'])} | {w['median_t_lo']:.2f} "
                 f"| {w['median_t_hi']:.2f} | {w['ips_lo']:.0f} "
                 f"| {w['ips_hi']:.0f} | **{w['raw_eff']:.3f}** "
-                f"| {w['ctrl_eff']:.3f} | **{w['norm_eff']:.3f}** |"
+                f"| {w['ctrl_eff']:.3f} | **{w['norm_eff']:.3f}** "
+                f"| {pc} | {pn} |"
             )
             if extra_cols:
                 row += f" {w.get('bw_eff', 0):.3f} | {w.get('kernel_eff', 0):.3f} |"
@@ -653,24 +745,36 @@ def write_scaling_md() -> None:
 
     def round_detail(ws: list[dict]) -> str:
         lines = [
-            "| window | round | T_N s | T_4N s | raw eff | ctrl eff | norm |",
-            "|---|---|---|---|---|---|---|",
+            "| window | round | T_N s | T_4N s | raw eff | ctrl eff | norm "
+            "| probe ctrl | probe-norm |",
+            "|---|---|---|---|---|---|---|---|---|",
         ]
         for w in ws:
             for i, r in enumerate(w["rounds"]):
+                pc = f"{r['pctrl_eff']:.3f}" if "pctrl_eff" in r else "—"
+                pn = f"{r['pnorm_eff']:.3f}" if "pnorm_eff" in r else "—"
                 lines.append(
                     f"| {w['ts']} | {i + 1} | {r['t_lo']:.2f} | {r['t_hi']:.2f} "
                     f"| {r['raw_eff']:.3f} | {r['ctrl_eff']:.3f} "
-                    f"| {r['norm_eff']:.3f} |"
+                    f"| {r['norm_eff']:.3f} | {pc} | {pn} |"
                 )
         return "\n".join(lines)
 
     n_raw = sum(1 for w in light if w["raw_eff"] >= 0.8)
     n_norm = sum(1 for w in light if w["norm_eff"] >= 0.9)
     n_win = len(light)
+    pwins = [w for w in light if "pnorm_eff" in w]
+    n_pnorm = sum(1 for w in pwins if w["pnorm_eff"] >= 0.9)
     verdict = (
         f"**Across {n_win} windows: raw ≥ 0.8 in {n_raw}/{n_win}, "
-        f"control-normalized ≥ 0.9 in {n_norm}/{n_win}.**"
+        f"control-normalized ≥ 0.9 in {n_norm}/{n_win}"
+        + (
+            f"; probe-normalized (same-seconds host factor) ≥ 0.9 in "
+            f"{n_pnorm}/{len(pwins)} of the windows that ran the "
+            f"concurrent probe.**"
+            if pwins
+            else ".**"
+        )
     )
     legs = light[0]["legs"] if light else (heavy[0]["legs"] if heavy else [2, 8])
     lo, hi = legs
@@ -724,6 +828,19 @@ released between runs; nothing else runs on the box during a window.
 One window = one `python bench.py --scaling` invocation; windows are
 accumulated in `BENCH/scaling_windows.jsonl` at separate times across
 the session.
+
+**Concurrent probe (r4):** the adjacent controls still sample different
+minutes than the legs (runs are minutes long, hypervisor throttling
+changes faster — the residual gap the r3 verdict flagged). So a
+single-core spin pinned to a core DISJOINT from both legs samples
+per-core host speed every ~1.1 s for the whole window; each leg run is
+assigned the median probe speed measured DURING that run's own wall
+seconds. `probe ctrl` = speed(during 4N leg) / speed(during N leg) — a
+host-wide CPU-delivery throttle (steal time, shared quota) slows the
+probe core by the same factor as the leg cores, so this ratio is the
+host's own contribution to the measured raw efficiency; `probe-norm` =
+raw / probe ctrl is the pipeline's. Unlike the adjacent control, one
+window now yields ONE normalized number with no minutes-level skew.
 
 ## Corpus px64 — {n_img} images, ~10 KB rows (the compute/shuffle regime)
 
