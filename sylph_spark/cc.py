@@ -22,16 +22,25 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     edges: DataFrame,
     node_col: str = "image_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 50,
     driver_threshold: int = 2_000_000,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Returns (node_col, cluster_id) where cluster_id = min node id in the
     component. Deterministic; independent of input partitioning.
+
+    ``nodes=None`` labels only the edge endpoints (no isolated nodes) —
+    callers whose node universe IS the edge set (e.g. first-pass pair
+    participants) skip the node left-join and, on the driver path, get a
+    single Arrow local table with no Spark-side joins at all.
+    ``with_sizes=True`` appends a ``cluster_size`` column (isolated nodes
+    count 1): free on the driver path (np.bincount over the label codes),
+    one labels-table aggregation + join on the distributed path.
 
     Node and edge id columns MUST be non-null strings (the framework's
     image_ids are): both paths label a component by its MIN id, and "min"
@@ -54,12 +63,22 @@ def connected_components(
     pairs = edges.select(src_col, dst_col)
     probe = pairs.limit(driver_threshold + 1).toArrow()
     if probe.num_rows <= driver_threshold:
-        return _driver_cc(nodes, probe, node_col, src_col, dst_col)
-    return _distributed_cc(nodes, edges, node_col, src_col, dst_col, max_iter)
+        return _driver_cc(
+            nodes, edges.sparkSession, probe, node_col, src_col, dst_col, with_sizes
+        )
+    return _distributed_cc(
+        nodes, edges, node_col, src_col, dst_col, max_iter, with_sizes
+    )
 
 
 def _driver_cc(
-    nodes: DataFrame, edge_tbl, node_col: str, src_col: str, dst_col: str
+    nodes: DataFrame | None,
+    spark,
+    edge_tbl,
+    node_col: str,
+    src_col: str,
+    dst_col: str,
+    with_sizes: bool,
 ) -> DataFrame:
     """Vectorized driver-side CC over an Arrow edge table: factorize string
     ids into codes (np.unique on a fixed-width string array — C-speed sort,
@@ -86,7 +105,6 @@ def _driver_cc(
                 f"connected_components: edge column {col!r} contains nulls "
                 f"(they would stringify to the literal 'None')"
             )
-    spark = nodes.sparkSession
     if edge_tbl.num_rows:
         a_obj = edge_tbl.column(src_col).to_numpy(zero_copy_only=False)
         b_obj = edge_tbl.column(dst_col).to_numpy(zero_copy_only=False)
@@ -106,35 +124,48 @@ def _driver_cc(
                 label = jumped
             if np.array_equal(label, before):
                 break
-        lbl_df = spark.createDataFrame(
-            pd.DataFrame({node_col: uniq, "cluster_id": uniq[label]})
-        )
+        cols = {node_col: uniq, "cluster_id": uniq[label]}
+        if with_sizes:
+            cols["cluster_size"] = np.bincount(label)[label].astype(np.int64)
+        lbl_df = spark.createDataFrame(pd.DataFrame(cols))
     else:
-        lbl_df = spark.createDataFrame([], f"{node_col} string, cluster_id string")
-    return (
-        nodes.select(node_col)
-        .join(lbl_df, node_col, "left")
-        .select(
-            F.col(node_col),
-            F.coalesce(F.col("cluster_id"), F.col(node_col)).alias("cluster_id"),
+        sz = ", cluster_size bigint" if with_sizes else ""
+        lbl_df = spark.createDataFrame(
+            [], f"{node_col} string, cluster_id string{sz}"
         )
-    )
+    if nodes is None:
+        return lbl_df
+    out = nodes.select(node_col).join(lbl_df, node_col, "left")
+    proj = [
+        F.col(node_col),
+        F.coalesce(F.col("cluster_id"), F.col(node_col)).alias("cluster_id"),
+    ]
+    if with_sizes:
+        proj.append(
+            F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size")
+        )
+    return out.select(*proj)
 
 
 def _distributed_cc(
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     edges: DataFrame,
     node_col: str,
     src_col: str,
     dst_col: str,
     max_iter: int,
+    with_sizes: bool,
 ) -> DataFrame:
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
     )
-    labels = nodes.select(
+    if nodes is None:
+        node_src = sym.select(F.col("u").alias(node_col)).distinct()
+    else:
+        node_src = nodes.select(node_col)
+    labels = node_src.select(
         F.col(node_col).alias("u"), F.col(node_col).alias("lbl")
     ).localCheckpoint()
     sym = sym.localCheckpoint()
@@ -183,6 +214,14 @@ def _distributed_cc(
             f"connected_components did not converge in {max_iter} iterations "
             f"(last delta: {changed} labels still changing)"
         )
-    return labels.select(
+    out = labels.select(
         F.col("u").alias(node_col), F.col("lbl").alias("cluster_id")
     )
+    if with_sizes:
+        out = out.join(
+            out.groupBy("cluster_id").agg(
+                F.count("*").alias("cluster_size")
+            ),
+            "cluster_id",
+        ).select(node_col, "cluster_id", "cluster_size")
+    return out

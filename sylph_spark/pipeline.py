@@ -404,21 +404,54 @@ class DedupPipeline:
         # a two-sided vocab-scale sort-merge — the stage attribution's
         # worst-scaling heavy barrier (BENCH/BASELINE.md per-stage table).
         limit = self._band_df_limit(n_items)
+        # preliminary clusters = competition scope (first-pass edges only;
+        # nodes = edge endpoints, so the CC returns one label table with
+        # cluster sizes attached — no node join, no size shuffle).
+        # localCheckpoint: the table is consulted by both the winner build
+        # and the pair split; without it every reference re-serializes the
+        # driver-local CC result into the plan.
+        pre = (
+            connected_components(
+                None, first.select("id_a", "id_b"), with_sizes=True
+            )
+            .withColumnRenamed("cluster_id", "pre_cluster")
+            .withColumnRenamed("cluster_size", "csize")
+            .localCheckpoint()
+        )
+        # 2-item-cluster bypass: a winner for shingle s is, by the max_by
+        # construction, an item CONTAINING s within the pair's cluster — in
+        # a cluster of exactly {a, b} that is always a or b, so every
+        # intersection shingle is kept, kmers_lost = 0, and the rescore
+        # recomputes the first-pass score from the identical covs vector.
+        # Those pairs (the dominant class: most duplicate groups are pairs)
+        # pass through as their first-pass rows verbatim; the winner table,
+        # the pair-shingle explode, and the re-aggregation run ONLY over
+        # clusters with >= 3 members, where competition can actually
+        # reassign a shingle. Shrinks the stage's shuffled volume by the
+        # 2-cluster pair fraction (~2/3 on the bench corpus) at any scale.
+        first_sz = first.join(
+            pre.select(
+                F.col("image_id").alias("id_a"), "pre_cluster", "csize"
+            ),
+            "id_a",
+        )
+        small = first_sz.filter(F.col("csize") == 2).select(first.columns)
+        # bigp feeds both the needed-shingle derivation and the pair explode
+        bigp = (
+            first_sz.filter(F.col("csize") >= 3)
+            .select("id_a", "id_b", "pre_cluster")
+            .localCheckpoint()
+        )
         needed = (
-            pair_shingles.join(first.select("id_a", "id_b"), ["id_a", "id_b"])
+            pair_shingles.join(bigp.select("id_a", "id_b"), ["id_a", "id_b"])
             .select(F.explode("inter_cnt").alias("e"))
             .filter(F.col("e.cnt") <= limit)
             .select(F.col("e.shingle").alias("shingle"))
             .distinct()
         )
-        # preliminary clusters = competition scope (first-pass edges only;
-        # nodes restricted to first-pass participants, a small table)
-        pre = connected_components(
-            item_score.select("image_id"), first.select("id_a", "id_b")
-        ).withColumnRenamed("cluster_id", "pre_cluster")
         winner = (
             sketches.join(item_score, "image_id")
-            .join(pre, "image_id")
+            .join(pre.filter(F.col("csize") >= 3), "image_id")
             .select(
                 "image_id",
                 "pre_cluster",
@@ -435,10 +468,10 @@ class DedupPipeline:
         )
         # pair intersections come straight from the materialized
         # pair_shingles table (multiplicities included) — no sketch joins,
-        # no array_intersect, no counts join in this pass
+        # no array_intersect, no counts join in this pass; bigp already
+        # carries the pair's cluster label, so no second pre join either
         ex = (
-            pair_shingles.join(first.select("id_a", "id_b"), ["id_a", "id_b"])
-            .join(pre.withColumnRenamed("image_id", "id_a"), "id_a")
+            pair_shingles.join(bigp, ["id_a", "id_b"])
             .select(
                 "id_a",
                 "id_b",
@@ -473,9 +506,12 @@ class DedupPipeline:
             F.col("kmers_lost")
             < F.pow(F.lit(cfg.tau), F.lit(cfg.ani_k)) * F.col("total_kmers")
         )
-        return res.mapInArrow(
+        rescored_big = res.mapInArrow(
             udfs.make_score_arrow_fn(self.cfg), schema=udfs.SCORE_SCHEMA
         )
+        # 2-cluster pairs re-enter with their first-pass rows (kmers_lost is
+        # already 0 on the scored path — see make_score_arrow_fn)
+        return rescored_big.unionByName(small)
 
     def _gate_base(self, scored: DataFrame, sketches: DataFrame) -> DataFrame:
         """tau + SimHash-hamming gate with captions attached — the input to

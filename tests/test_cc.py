@@ -31,11 +31,54 @@ def _labels(df):
 
 
 class TestCC:
-    def test_driver_equals_distributed(self, graph):
+    def test_driver_equals_distributed(self, graph, spark):
         ndf, edf = graph
-        a = _labels(_driver_cc(ndf, edf.toArrow(), "image_id", "id_a", "id_b"))
-        b = _labels(_distributed_cc(ndf, edf, "image_id", "id_a", "id_b", 50))
+        a = _labels(
+            _driver_cc(
+                ndf, spark, edf.toArrow(), "image_id", "id_a", "id_b", False
+            )
+        )
+        b = _labels(
+            _distributed_cc(ndf, edf, "image_id", "id_a", "id_b", 50, False)
+        )
         assert a == b
+
+    def test_endpoint_nodes_and_sizes_paths_agree(self, graph, spark):
+        """nodes=None labels exactly the edge endpoints; with_sizes counts
+        component members — identically on both paths."""
+        _, edf = graph
+
+        def rows(df):
+            return {
+                r["image_id"]: (r["cluster_id"], r["cluster_size"])
+                for r in df.collect()
+            }
+
+        a = rows(
+            _driver_cc(None, spark, edf.toArrow(), "image_id", "id_a", "id_b", True)
+        )
+        b = rows(_distributed_cc(None, edf, "image_id", "id_a", "id_b", 50, True))
+        assert a == b
+        touched = {r["id_a"] for r in edf.collect()} | {
+            r["id_b"] for r in edf.collect()
+        }
+        assert set(a) == touched
+        from collections import defaultdict
+
+        comp = defaultdict(set)
+        for n, (c, _) in a.items():
+            comp[c].add(n)
+        for n, (c, sz) in a.items():
+            assert sz == len(comp[c])
+
+    def test_isolated_nodes_size_one(self, spark):
+        ndf = spark.createDataFrame([("a",), ("b",), ("c",)], ["image_id"])
+        edf = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+        rows = {
+            r["image_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in connected_components(ndf, edf, with_sizes=True).collect()
+        }
+        assert rows == {"a": ("a", 2), "b": ("a", 2), "c": ("c", 1)}
 
     def test_labels_are_min_member(self, graph):
         ndf, edf = graph
