@@ -71,25 +71,7 @@ def connected_components(
     )
 
 
-def _driver_cc(
-    nodes: DataFrame | None,
-    spark,
-    edge_tbl,
-    node_col: str,
-    src_col: str,
-    dst_col: str,
-    with_sizes: bool,
-) -> DataFrame:
-    """Vectorized driver-side CC over an Arrow edge table: factorize string
-    ids into codes (np.unique on a fixed-width string array — C-speed sort,
-    no per-edge Python), then min-label hooking + full pointer-jumping
-    compression until fixpoint. Replaces the dict union-find whose per-edge
-    Python loop was ~2 s of core-count-invariant driver time at bench scale
-    (serial floor in the scaling legs). Labels are identical: the cluster id
-    is the lexicographic-min node id of the component (code order = np.unique
-    sort order = lexicographic)."""
-    import numpy as np
-    import pandas as pd
+def _check_edge_tbl(edge_tbl, src_col: str, dst_col: str) -> None:
     import pyarrow as pa
 
     for col in (src_col, dst_col):
@@ -105,25 +87,57 @@ def _driver_cc(
                 f"connected_components: edge column {col!r} contains nulls "
                 f"(they would stringify to the literal 'None')"
             )
-    if edge_tbl.num_rows:
-        a_obj = edge_tbl.column(src_col).to_numpy(zero_copy_only=False)
-        b_obj = edge_tbl.column(dst_col).to_numpy(zero_copy_only=False)
-        both = np.concatenate([a_obj, b_obj]).astype("U")
-        uniq, codes = np.unique(both, return_inverse=True)
-        ca, cb = codes[: a_obj.size], codes[a_obj.size :]
-        label = np.arange(uniq.size, dtype=np.int64)
+
+
+def _numpy_cc(edge_tbl, src_col: str, dst_col: str):
+    """Core driver-side CC: factorize string ids into codes (np.unique on a
+    fixed-width string array — C-speed sort, no per-edge Python), then
+    min-label hooking + full pointer-jumping compression until fixpoint.
+    Returns (uniq, label, src_codes) — uniq[label] is each node's cluster
+    id (lexicographic-min member, code order = np.unique sort order) and
+    uniq[label[src_codes]] labels each EDGE by gather, for free."""
+    import numpy as np
+
+    a_obj = edge_tbl.column(src_col).to_numpy(zero_copy_only=False)
+    b_obj = edge_tbl.column(dst_col).to_numpy(zero_copy_only=False)
+    both = np.concatenate([a_obj, b_obj]).astype("U")
+    uniq, codes = np.unique(both, return_inverse=True)
+    ca, cb = codes[: a_obj.size], codes[a_obj.size :]
+    label = np.arange(uniq.size, dtype=np.int64)
+    while True:
+        before = label.copy()
+        m = np.minimum(label[ca], label[cb])
+        np.minimum.at(label, ca, m)
+        np.minimum.at(label, cb, m)
         while True:
-            before = label.copy()
-            m = np.minimum(label[ca], label[cb])
-            np.minimum.at(label, ca, m)
-            np.minimum.at(label, cb, m)
-            while True:
-                jumped = label[label]
-                if np.array_equal(jumped, label):
-                    break
-                label = jumped
-            if np.array_equal(label, before):
+            jumped = label[label]
+            if np.array_equal(jumped, label):
                 break
+            label = jumped
+        if np.array_equal(label, before):
+            break
+    return uniq, label, ca
+
+
+def _driver_cc(
+    nodes: DataFrame | None,
+    spark,
+    edge_tbl,
+    node_col: str,
+    src_col: str,
+    dst_col: str,
+    with_sizes: bool,
+) -> DataFrame:
+    """Vectorized driver-side CC over an Arrow edge table (see _numpy_cc).
+    Replaces the dict union-find whose per-edge Python loop was ~2 s of
+    core-count-invariant driver time at bench scale (serial floor in the
+    scaling legs)."""
+    import numpy as np
+    import pandas as pd
+
+    _check_edge_tbl(edge_tbl, src_col, dst_col)
+    if edge_tbl.num_rows:
+        uniq, label, _ = _numpy_cc(edge_tbl, src_col, dst_col)
         cols = {node_col: uniq, "cluster_id": uniq[label]}
         if with_sizes:
             cols["cluster_size"] = np.bincount(label)[label].astype(np.int64)
@@ -145,6 +159,84 @@ def _driver_cc(
             F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size")
         )
     return out.select(*proj)
+
+
+def pair_cluster_labels(
+    edges: DataFrame,
+    node_col: str = "image_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    driver_threshold: int = 2_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Label every EDGE PAIR and every endpoint NODE with its connected
+    component and component size, in one pass.
+
+    Returns ``(pair_df, node_df)``:
+      pair_df — (src_col, dst_col, pre_cluster, csize), one row per input
+      edge, labeled by the lexicographic-min member of its component;
+      node_df — (node_col, pre_cluster, csize) over the edge endpoints.
+
+    Below ``driver_threshold`` edges, both tables come out of ONE driver
+    numpy CC pass over the collected Arrow edge list: the edge→label
+    assignment is a vectorized gather (uniq[label[src_codes]]), so the
+    caller pays a single bounded collect and ZERO Spark joins or eager
+    checkpoints — this is what removes the rescore stage's serial floor
+    (BENCH/BASELINE.md per-stage attribution: the pre/bigp localCheckpoint
+    barriers plus two label joins were ~core-count-invariant seconds).
+    Above the threshold, node labels come from the distributed propagation
+    loop and pair labels from one shuffle join on ``src_col`` (both edge
+    endpoints share a component, so one side suffices). String-id contract
+    identical to connected_components."""
+    import numpy as np
+    import pandas as pd
+
+    spark = edges.sparkSession
+    pairs = edges.select(src_col, dst_col)
+    probe = pairs.limit(driver_threshold + 1).toArrow()
+    if probe.num_rows > driver_threshold:
+        node_df = _distributed_cc(
+            None, edges, node_col, src_col, dst_col, 50, True
+        ).withColumnRenamed("cluster_id", "pre_cluster").withColumnRenamed(
+            "cluster_size", "csize"
+        )
+        pair_df = pairs.join(
+            node_df.select(
+                F.col(node_col).alias(src_col), "pre_cluster", "csize"
+            ),
+            src_col,
+        ).select(src_col, dst_col, "pre_cluster", "csize")
+        return pair_df, node_df
+    _check_edge_tbl(probe, src_col, dst_col)
+    if probe.num_rows == 0:
+        schema_p = f"{src_col} string, {dst_col} string, pre_cluster string, csize bigint"
+        schema_n = f"{node_col} string, pre_cluster string, csize bigint"
+        return (
+            spark.createDataFrame([], schema_p),
+            spark.createDataFrame([], schema_n),
+        )
+    uniq, label, ca = _numpy_cc(probe, src_col, dst_col)
+    sizes = np.bincount(label)
+    node_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                node_col: uniq,
+                "pre_cluster": uniq[label],
+                "csize": sizes[label].astype(np.int64),
+            }
+        )
+    )
+    el = label[ca]
+    pair_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                src_col: probe.column(src_col).to_numpy(zero_copy_only=False),
+                dst_col: probe.column(dst_col).to_numpy(zero_copy_only=False),
+                "pre_cluster": uniq[el],
+                "csize": sizes[el].astype(np.int64),
+            }
+        )
+    )
+    return pair_df, node_df
 
 
 def _distributed_cc(

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import udfs
-from .cc import connected_components
+from .cc import connected_components, pair_cluster_labels
 from .config import SketchConfig
 from .io.catalog import StageCatalog
 from .session import heavy_payload_batches
@@ -404,20 +404,15 @@ class DedupPipeline:
         # a two-sided vocab-scale sort-merge — the stage attribution's
         # worst-scaling heavy barrier (BENCH/BASELINE.md per-stage table).
         limit = self._band_df_limit(n_items)
-        # preliminary clusters = competition scope (first-pass edges only;
-        # nodes = edge endpoints, so the CC returns one label table with
-        # cluster sizes attached — no node join, no size shuffle).
-        # localCheckpoint: the table is consulted by both the winner build
-        # and the pair split; without it every reference re-serializes the
-        # driver-local CC result into the plan.
-        pre = (
-            connected_components(
-                None, first.select("id_a", "id_b"), with_sizes=True
-            )
-            .withColumnRenamed("cluster_id", "pre_cluster")
-            .withColumnRenamed("cluster_size", "csize")
-            .localCheckpoint()
-        )
+        # preliminary clusters = competition scope (first-pass edges only).
+        # pair_cluster_labels returns BOTH the per-pair and the per-node
+        # label tables out of one driver CC pass below the edge threshold:
+        # no label join onto `first`, no pre/bigp localCheckpoint barriers
+        # (each was a core-count-invariant eager job — the rescore stage's
+        # measured serial floor, BENCH/BASELINE.md per-stage attribution).
+        # The whole rescore DAG now materializes lazily in the verified
+        # barrier as one job.
+        pair_lab, node_lab = pair_cluster_labels(first.select("id_a", "id_b"))
         # 2-item-cluster bypass: a winner for shingle s is, by the max_by
         # construction, an item CONTAINING s within the pair's cluster — in
         # a cluster of exactly {a, b} that is always a or b, so every
@@ -429,18 +424,14 @@ class DedupPipeline:
         # clusters with >= 3 members, where competition can actually
         # reassign a shingle. Shrinks the stage's shuffled volume by the
         # 2-cluster pair fraction (~2/3 on the bench corpus) at any scale.
-        first_sz = first.join(
-            pre.select(
-                F.col("image_id").alias("id_a"), "pre_cluster", "csize"
-            ),
-            "id_a",
+        small = first.join(
+            pair_lab.filter(F.col("csize") == 2).select("id_a", "id_b"),
+            ["id_a", "id_b"],
         )
-        small = first_sz.filter(F.col("csize") == 2).select(first.columns)
         # bigp feeds both the needed-shingle derivation and the pair explode
-        bigp = (
-            first_sz.filter(F.col("csize") >= 3)
-            .select("id_a", "id_b", "pre_cluster")
-            .localCheckpoint()
+        # (a small local/broadcast table — no eager checkpoint needed)
+        bigp = pair_lab.filter(F.col("csize") >= 3).select(
+            "id_a", "id_b", "pre_cluster"
         )
         needed = (
             pair_shingles.join(bigp.select("id_a", "id_b"), ["id_a", "id_b"])
@@ -451,7 +442,12 @@ class DedupPipeline:
         )
         winner = (
             sketches.join(item_score, "image_id")
-            .join(pre.filter(F.col("csize") >= 3), "image_id")
+            .join(
+                node_lab.filter(F.col("csize") >= 3).select(
+                    "image_id", "pre_cluster"
+                ),
+                "image_id",
+            )
             .select(
                 "image_id",
                 "pre_cluster",
