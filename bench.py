@@ -693,11 +693,11 @@ def write_scaling_md() -> None:
 
     def wtable(ws: list[dict], extra_cols: bool = False) -> str:
         hdr = (
-            "| window (local time) | rounds | med T_N s | med T_4N s | "
+            "| window (local time) | legs N→4N | rounds | med T_N s | med T_4N s | "
             "img/s @N | img/s @4N | raw eff | ctrl eff | normalized | "
             "probe ctrl | probe-norm |"
         )
-        sep = "|---|---|---|---|---|---|---|---|---|---|---|"
+        sep = "|---|---|---|---|---|---|---|---|---|---|---|---|"
         if extra_cols:
             hdr = hdr[:-1] + " bw eff | kernel eff |"
             sep += "---|---|"
@@ -705,8 +705,9 @@ def write_scaling_md() -> None:
         for w in ws:
             pc = f"{w['pctrl_eff']:.3f}" if "pctrl_eff" in w else "—"
             pn = f"**{w['pnorm_eff']:.3f}**" if "pnorm_eff" in w else "—"
+            wl, wh = w.get("legs", [2, 8])
             row = (
-                f"| {w['ts']} | {len(w['rounds'])} | {w['median_t_lo']:.2f} "
+                f"| {w['ts']} | {wl}→{wh} | {len(w['rounds'])} | {w['median_t_lo']:.2f} "
                 f"| {w['median_t_hi']:.2f} | {w['ips_lo']:.0f} "
                 f"| {w['ips_hi']:.0f} | **{w['raw_eff']:.3f}** "
                 f"| {w['ctrl_eff']:.3f} | **{w['norm_eff']:.3f}** "
@@ -745,16 +746,17 @@ def write_scaling_md() -> None:
 
     def round_detail(ws: list[dict]) -> str:
         lines = [
-            "| window | round | T_N s | T_4N s | raw eff | ctrl eff | norm "
+            "| window | legs | round | T_N s | T_4N s | raw eff | ctrl eff | norm "
             "| probe ctrl | probe-norm |",
-            "|---|---|---|---|---|---|---|---|---|",
+            "|---|---|---|---|---|---|---|---|---|---|",
         ]
         for w in ws:
+            wl, wh = w.get("legs", [2, 8])
             for i, r in enumerate(w["rounds"]):
                 pc = f"{r['pctrl_eff']:.3f}" if "pctrl_eff" in r else "—"
                 pn = f"{r['pnorm_eff']:.3f}" if "pnorm_eff" in r else "—"
                 lines.append(
-                    f"| {w['ts']} | {i + 1} | {r['t_lo']:.2f} | {r['t_hi']:.2f} "
+                    f"| {w['ts']} | {wl}→{wh} | {i + 1} | {r['t_lo']:.2f} | {r['t_hi']:.2f} "
                     f"| {r['raw_eff']:.3f} | {r['ctrl_eff']:.3f} "
                     f"| {r['norm_eff']:.3f} | {pc} | {pn} |"
                 )
@@ -810,7 +812,14 @@ pipeline-bound).
 No real cluster exists in this sandbox (single 32-vCPU virtualized host);
 per the round instructions, the two-cluster-size criterion is evidenced by
 running the IDENTICAL dedup job on the IDENTICAL input at two parallelism
-levels — local[{lo}] = N and local[{hi}] = 4N.
+levels — the default instrument is local[{lo}] = N vs local[{hi}] = 4N;
+windows run at a different N (the `legs` column) keep the same 4× ratio
+and protocol. Two leg scales measured with the same instrument separate
+the pipeline's scaling from the fixed serial floor (driver CC probes,
+barrier scheduling): the floor's share of the N-leg runtime halves when
+N halves, so a plan whose efficiency RISES at 1→4 vs 2→8 is limited by
+the floor — which amortizes away on any real cluster where the job runs
+minutes-to-hours per stage — not by its shuffles.
 
 ## Interleaved protocol (VERDICT r3 #1)
 
