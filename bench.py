@@ -332,9 +332,17 @@ class _Leg:
         if not line or not json.loads(line).get("ready"):
             raise RuntimeError(f"leg {self.cpus} failed to warm up")
 
-    def run(self) -> dict:
+    def start(self) -> None:
+        """Kick off one timed run without blocking (concurrent protocol:
+        the parent overlaps this leg's run with the other leg's)."""
         self.proc.stdin.write("run\n")
+
+    def wait(self) -> dict:
         return json.loads(self.proc.stdout.readline())
+
+    def run(self) -> dict:
+        self.start()
+        return self.wait()
 
     def close(self) -> None:
         try:
@@ -525,7 +533,7 @@ WINDOWS_PATH = os.path.join(
 )
 
 
-def run_scaling_window(n_base: int, px: int = 64) -> dict:
+def run_scaling_window(n_base: int, px: int = 64, mode: str | None = None) -> dict:
     """ONE measurement window of the interleaved scaling protocol
     (VERDICT r3 #1): both legs warm to steady state in persistent pinned
     JVMs, then each round measures — within the same few minutes —
@@ -537,13 +545,30 @@ def run_scaling_window(n_base: int, px: int = 64) -> dict:
     APPENDED to BENCH/scaling_windows.jsonl and the report regenerated —
     run this at several separate times to accumulate ≥3 windows.
 
+    ``mode="concurrent"`` (r4, the endpoint of the "same minutes"
+    directive): instead of alternating the legs, each round runs BOTH legs
+    at the same time on their disjoint core ranges — the 4N leg loops
+    continuously for the entire duration of the N leg's single run, so
+    every 4N measurement shares the N run's exact wall seconds and any
+    time-varying host throttle multiplies both legs identically and
+    cancels in the ratio. No normalization needed; raw IS the number.
+    Only 4N runs fully contained in the N run's interval count; the
+    straddling run is kept running (constant load) but excluded. One solo
+    (unaccompanied) 4N run per round quantifies the only residual
+    systematic — the N leg's own contention on the 4N leg (shared bus /
+    L3; cores are disjoint by taskset) — reported as `contention_hi` =
+    t_4N_concurrent / t_4N_solo.
+
     Knobs: $SYLPH_SCALE_LEGS (default "2,8" — the 32-vCPU host grants 2
     and 8 cores far more reliably than 32), $SYLPH_SCALE_ROUNDS (default
-    3), $SYLPH_BENCH_IMAGES / $SYLPH_BENCH_IMG_PX (corpus profile)."""
+    3), $SYLPH_SCALE_MODE (sequential|concurrent),
+    $SYLPH_BENCH_IMAGES / $SYLPH_BENCH_IMG_PX (corpus profile)."""
+    import threading
     import time as _t
 
     from sylph_spark.session import build_spark
 
+    mode = mode or os.environ.get("SYLPH_SCALE_MODE", "sequential")
     legs = tuple(
         int(x) for x in os.environ.get("SYLPH_SCALE_LEGS", "2,8").split(",")
     )
@@ -591,12 +616,97 @@ def run_scaling_window(n_base: int, px: int = 64) -> dict:
         "ts": _t.strftime("%Y-%m-%dT%H:%M:%S"),
         "legs": [lo, hi],
         "px": px,
+        "protocol": mode,
         "n_images": 0,  # filled from the first leg run
         "rounds": [],
     }
+
+    def concurrent_round() -> dict:
+        rd: dict = {}
+        hi_runs: list[dict] = []
+        stop = threading.Event()
+
+        def hi_loop() -> None:
+            while not stop.is_set():
+                h0 = _t.time()
+                res = leg_hi.run()
+                hi_runs.append(
+                    {
+                        "start": h0,
+                        "end": _t.time(),
+                        "sec": res["sec"],
+                        "stages": res.get("stages", {}),
+                    }
+                )
+
+        th = threading.Thread(target=hi_loop, daemon=True)
+        w0 = _t.time()
+        leg_lo.start()
+        th.start()
+        res_lo = leg_lo.wait()
+        w1 = _t.time()
+        stop.set()
+        th.join()  # straddling 4N run finishes (load stays constant
+        # through the N run's tail); it is recorded but not counted
+        rd["t_lo"] = res_lo["sec"]
+        window["n_images"] = res_lo["images"]
+        rd["stages_lo"] = res_lo.get("stages", {})
+        contained = [h for h in hi_runs if h["end"] <= w1 + 0.5]
+        rd["hi_all"] = [round(h["sec"], 2) for h in hi_runs]
+        rd["hi_contained"] = [round(h["sec"], 2) for h in contained]
+        # solo 4N run immediately after: the contention check
+        s0 = _t.time()
+        res_solo = leg_hi.run()
+        s1 = _t.time()
+        rd["t_hi_solo"] = res_solo["sec"]
+        if not contained:  # N run shorter than one 4N run — degenerate
+            contained = hi_runs[:1]
+        rd["t_hi"] = _median([h["sec"] for h in contained])
+        names = sorted(set().union(*[h["stages"].keys() for h in contained]))
+        rd["stages_hi"] = {
+            nm: round(
+                _median(
+                    [h["stages"][nm] for h in contained if nm in h["stages"]]
+                ),
+                3,
+            )
+            for nm in names
+        }
+        rd["raw_eff"] = round((rd["t_lo"] / rd["t_hi"]) / ratio, 4)
+        rd["solo_eff"] = round((rd["t_lo"] / rd["t_hi_solo"]) / ratio, 4)
+        rd["contention_hi"] = round(rd["t_hi"] / rd["t_hi_solo"], 4)
+        p_lo = probe.speed(w0, w1)
+        p_solo = probe.speed(s0, s1)
+        if p_lo:
+            rd["probe_lo_ops"] = round(p_lo)
+        if p_solo:
+            rd["probe_solo_ops"] = round(p_solo)
+        if p_lo and p_solo:
+            # host speed during the solo run vs during the concurrent
+            # window — how different a minute the solo check sampled
+            rd["probe_solo_ratio"] = round(p_solo / p_lo, 4)
+        if heavy:
+            # bus-bound-profile controls (adjacent, directly after the
+            # round): streaming bandwidth + the no-Spark pure kernel at
+            # both proc counts — the px256 "bus, not the plan" instrument
+            rd["bw_lo_gbs"] = _bw_gbs(lo)
+            rd["bw_hi_gbs"] = _bw_gbs(hi)
+            rd["kernel_lo_ips"] = _kernel_ips(lo, sample)
+            rd["kernel_hi_ips"] = _kernel_ips(hi, sample)
+            rd["bw_eff"] = round((rd["bw_hi_gbs"] / rd["bw_lo_gbs"]) / ratio, 4)
+            rd["kernel_eff"] = round(
+                (rd["kernel_hi_ips"] / rd["kernel_lo_ips"]) / ratio, 4
+            )
+        return rd
+
     try:
         for r in range(rounds):
-            rd: dict = {}
+            if mode == "concurrent":
+                rd = concurrent_round()
+                window["rounds"].append(rd)
+                print(json.dumps({"round": r, **rd}), file=sys.stderr, flush=True)
+                continue
+            rd = {}
             rd["ctrl_lo_ops"] = _cpu_ops(lo)
             if heavy:
                 rd["bw_lo_gbs"] = _bw_gbs(lo)
@@ -642,16 +752,28 @@ def run_scaling_window(n_base: int, px: int = 64) -> dict:
         probe.close()
 
     rs = window["rounds"]
-    med_lo, med_hi = _median([r["t_lo"] for r in rs]), _median([r["t_hi"] for r in rs])
+    med_lo = _median([r["t_lo"] for r in rs])
+    if mode == "concurrent":
+        # pool every contained 4N run across rounds (each round contributes
+        # ~ratio of them) — a deeper sample than one median per round
+        pool = [s for r in rs for s in r.get("hi_contained", [])]
+        med_hi = _median(pool) if pool else _median([r["t_hi"] for r in rs])
+        med_solo = _median([r["t_hi_solo"] for r in rs])
+        window["median_t_hi_solo"] = round(med_solo, 2)
+        window["contention_hi"] = round(med_hi / med_solo, 4)
+        window["solo_eff"] = round((med_lo / med_solo) / ratio, 4)
+    else:
+        med_hi = _median([r["t_hi"] for r in rs])
+        window["ctrl_eff"] = round(_median([r["ctrl_eff"] for r in rs]), 4)
     window["median_t_lo"] = round(med_lo, 2)
     window["median_t_hi"] = round(med_hi, 2)
     window["raw_eff"] = round((med_lo / med_hi) / ratio, 4)
-    window["ctrl_eff"] = round(_median([r["ctrl_eff"] for r in rs]), 4)
     pcs = [r["pctrl_eff"] for r in rs if "pctrl_eff" in r]
     if pcs:
         window["pctrl_eff"] = round(_median(pcs), 4)
         window["pnorm_eff"] = round(window["raw_eff"] / window["pctrl_eff"], 4)
-    window["norm_eff"] = round(window["raw_eff"] / window["ctrl_eff"], 4)
+    if "ctrl_eff" in window:
+        window["norm_eff"] = round(window["raw_eff"] / window["ctrl_eff"], 4)
     window["ips_lo"] = round(window["n_images"] / med_lo, 1)
     window["ips_hi"] = round(window["n_images"] / med_hi, 1)
     if heavy:
@@ -688,8 +810,12 @@ def write_scaling_md() -> None:
     if os.path.exists(WINDOWS_PATH):
         with open(WINDOWS_PATH) as f:
             windows = [json.loads(line) for line in f if line.strip()]
-    light = [w for w in windows if w["px"] < 128]
-    heavy = [w for w in windows if w["px"] >= 128]
+    light_all = [w for w in windows if w["px"] < 128]
+    heavy_all = [w for w in windows if w["px"] >= 128]
+    light = [w for w in light_all if w.get("protocol", "sequential") != "concurrent"]
+    light_conc = [w for w in light_all if w.get("protocol") == "concurrent"]
+    heavy = [w for w in heavy_all if w.get("protocol", "sequential") != "concurrent"]
+    heavy_conc = [w for w in heavy_all if w.get("protocol") == "concurrent"]
 
     def wtable(ws: list[dict], extra_cols: bool = False) -> str:
         hdr = (
@@ -762,6 +888,94 @@ def write_scaling_md() -> None:
                 )
         return "\n".join(lines)
 
+    def ctable(ws: list[dict], extra_cols: bool = False) -> str:
+        hdr = (
+            "| window (local time) | legs N→4N | rounds | med T_N s | "
+            "med T_4N s (conc) | med T_4N s (solo) | contention | img/s @N | "
+            "img/s @4N | **raw eff** | solo eff |"
+        )
+        sep = "|---|---|---|---|---|---|---|---|---|---|---|"
+        if extra_cols:
+            hdr = hdr[:-1] + " bw eff | kernel eff |"
+            sep += "---|---|"
+        lines = [hdr, sep]
+        for w in ws:
+            wl, wh = w.get("legs", [2, 8])
+            row = (
+                f"| {w['ts']} | {wl}→{wh} | {len(w['rounds'])} "
+                f"| {w['median_t_lo']:.2f} | {w['median_t_hi']:.2f} "
+                f"| {w['median_t_hi_solo']:.2f} | {w['contention_hi']:.3f} "
+                f"| {w['ips_lo']:.0f} | {w['ips_hi']:.0f} "
+                f"| **{w['raw_eff']:.3f}** | {w['solo_eff']:.3f} |"
+            )
+            if extra_cols:
+                row += f" {w.get('bw_eff', 0):.3f} | {w.get('kernel_eff', 0):.3f} |"
+            lines.append(row)
+        return "\n".join(lines)
+
+    def cround_detail(ws: list[dict]) -> str:
+        lines = [
+            "| window | round | T_N s | contained 4N runs (s) | med T_4N | "
+            "T_4N solo | raw eff | solo eff | contention | probe solo/conc |",
+            "|---|---|---|---|---|---|---|---|---|---|",
+        ]
+        for w in ws:
+            for i, r in enumerate(w["rounds"]):
+                cont = ", ".join(f"{s:.1f}" for s in r.get("hi_contained", []))
+                psr = (
+                    f"{r['probe_solo_ratio']:.3f}"
+                    if "probe_solo_ratio" in r
+                    else "—"
+                )
+                lines.append(
+                    f"| {w['ts']} | {i + 1} | {r['t_lo']:.2f} | {cont} "
+                    f"| {r['t_hi']:.2f} | {r['t_hi_solo']:.2f} "
+                    f"| {r['raw_eff']:.3f} | {r['solo_eff']:.3f} "
+                    f"| {r['contention_hi']:.3f} | {psr} |"
+                )
+        return "\n".join(lines)
+
+    conc_section = ""
+    if light_conc:
+        nc_raw = sum(1 for w in light_conc if w["raw_eff"] >= 0.8)
+        nc = len(light_conc)
+        ci = light_conc[0]["n_images"]
+        conc_section = f"""
+## Concurrent-legs protocol (r4 — the same-SECONDS instrument)
+
+The sequential interleave above still compares minutes: an N-leg run and
+its 4N counterpart sample different host minutes, and this hypervisor's
+core delivery swings faster than a run lasts (adjacent controls spanned
+0.51–1.17). The concurrent protocol closes that gap completely: each
+round runs BOTH legs at the same time on disjoint taskset ranges (cores
+0–1 and 2–9 of 32), the 4N leg looping continuously for the entire
+duration of the N leg's single run. Every counted 4N run lies fully
+inside the N run's wall-clock interval, so any host-wide throttle
+multiplies both legs identically and cancels in the ratio — raw IS the
+host-independent number, no normalization step. The straddling 4N run
+keeps the load constant through the N run's tail but is excluded from
+the median. The one residual systematic — the 2-core leg's bus/L3
+contention on the 8-core leg (CPU is disjoint by pinning; combined
+demand 10+1 of 32 vCPUs) — is measured directly every round by one solo
+4N run right after: `contention` = med T_4N(concurrent) /
+med T_4N(solo). A value ≈ 1.0 means the co-run didn't slow the 4N leg,
+i.e. the concurrent ratio is clean; the `solo eff` column recomputes
+efficiency against the solo time as the conservative cross-check (it
+re-opens the different-minutes gap, which is the point of comparing
+them).
+
+Corpus px64, {ci} images (~10 KB rows), identical input both legs:
+
+{ctable(light_conc)}
+
+**Across {nc} concurrent windows: raw ≥ 0.8 in {nc_raw}/{nc}.**
+
+Per-round detail:
+
+{cround_detail(light_conc)}
+{stage_table(light_conc)}
+"""
+
     n_raw = sum(1 for w in light if w["raw_eff"] >= 0.8)
     n_norm = sum(1 for w in light if w["norm_eff"] >= 0.9)
     n_win = len(light)
@@ -783,8 +997,8 @@ def write_scaling_md() -> None:
     n_img = light[0]["n_images"] if light else 0
 
     heavy_section = ""
-    if heavy:
-        hw = heavy[0]
+    if heavy or heavy_conc:
+        hw = (heavy + heavy_conc)[0]
         heavy_section = f"""
 ## Corpus px256 — {hw['n_images']} images, ~100 KB lossy rows (the north-rule row shape)
 
@@ -794,7 +1008,7 @@ over real corpus rows, no Spark, no shuffle — the pipeline's heavy stage
 with every distributed mechanism removed).
 
 {wtable(heavy, extra_cols=True)}
-
+{("" if not heavy_conc else chr(10) + "Concurrent-legs windows (same-seconds protocol, see the px64 concurrent section; bw/kernel controls run adjacent after each round):" + chr(10) + chr(10) + ctable(heavy_conc, extra_cols=True) + chr(10))}
 Reading: the pure kernel — which has no plan, no shuffle, no Python
 workers, nothing a pipeline could mis-design — scales at ≈ the bandwidth
 control, and the full pipeline sits at or above both. The ~100 KB-row
@@ -861,7 +1075,7 @@ Per-round detail (every leg time with its same-minute control):
 
 {round_detail(light)}
 {stage_table(light)}
-{heavy_section}
+{conc_section}{heavy_section}
 ## Why the control-normalized number is the right scale-up predictor
 
 The virtualized host does not reliably grant {hi} cores: the same-minute
@@ -904,7 +1118,9 @@ if __name__ == "__main__":
     n_base = int(os.environ.get("SYLPH_BENCH_IMAGES", "20000"))
     if "--scaling" in sys.argv:
         run_scaling_window(
-            n_base, px=int(os.environ.get("SYLPH_BENCH_IMG_PX", "64"))
+            n_base,
+            px=int(os.environ.get("SYLPH_BENCH_IMG_PX", "64")),
+            mode="concurrent" if "--concurrent" in sys.argv else None,
         )
     elif "--scaling-report" in sys.argv:
         write_scaling_md()
