@@ -204,6 +204,16 @@ def run_bench(sf_dir: str, cpus: int, n_base: int) -> dict:
         sf = 0.1
     qtimes: dict[str, float] = {}
     qs = E.queries()
+    # host-delivery control, recorded INTO the result: this hypervisor's
+    # core delivery under full load swings 2-4x between minutes (see
+    # BENCH/scaling_notes.md "host weather"), so a BENCH_r{N} snapshot is
+    # only comparable to another after dividing by the aggregate spin
+    # throughput its own minutes granted. 1-proc = per-core speed;
+    # all-proc = effective cores x per-core speed.
+    host_ctrl = {
+        "pre_1p_mops": round(_cpu_ops(1) / 1e6, 2),
+        "pre_allp_mops": round(_cpu_ops(cpus) / 1e6, 2),
+    }
     # warm-up: a trivial aggregate through the same read path so the first
     # TIMED query reflects its plan, not JVM/AQE/Arrow cold start
     E._register(spark, sf_dir)
@@ -218,6 +228,8 @@ def run_bench(sf_dir: str, cpus: int, n_base: int) -> dict:
     lcs_stats: dict = {}
     dt, n_img = run_dedup(spark, images_path, lcs_stats=lcs_stats)
     qtimes["dedup_pipeline"] = round(dt, 3)
+    host_ctrl["post_1p_mops"] = round(_cpu_ops(1) / 1e6, 2)
+    host_ctrl["post_allp_mops"] = round(_cpu_ops(cpus) / 1e6, 2)
     total = round(sum(qtimes.values()), 3)
     result = {
         "metric": "headline queries + image dedup pipeline wall time",
@@ -230,6 +242,7 @@ def run_bench(sf_dir: str, cpus: int, n_base: int) -> dict:
         "scorer_microbench": _scorer_microbench(),
         "scorer_bootstrap_microbench": _bootstrap_microbench(),
         "lcs_short_circuit": lcs_stats,
+        "host_control": host_ctrl,
         "cpus": cpus,
     }
     spark.stop()
