@@ -1048,6 +1048,27 @@ N halves, so a plan whose efficiency RISES at 1→4 vs 2→8 is limited by
 the floor — which amortizes away on any real cluster where the job runs
 minutes-to-hours per stage — not by its shuffles.
 
+## Reproduce
+
+One window = one invocation, on an otherwise-idle box (the legs are
+taskset-pinned child processes, so run it under `setsid`/tmux — they die
+with the spawning shell):
+
+    # px64 window (480k-row corpus, the compute/shuffle regime)
+    SYLPH_BENCH_IMAGES=300000 SYLPH_BENCH_IMG_PX=64 \\
+        python bench.py --scaling --concurrent
+
+    # px256 window (48k-row corpus, the ~100 KB north-rule row shape)
+    SYLPH_BENCH_IMAGES=30000 SYLPH_BENCH_IMG_PX=256 \\
+        python bench.py --scaling --concurrent
+
+    python bench.py --scaling-report   # regenerate this file
+
+`SYLPH_SCALE_LEGS` (default `2,8`) picks N and 4N; omitting
+`--concurrent` runs the older sequential interleave. Each window appends
+one JSON record to `BENCH/scaling_windows.jsonl`; this report is
+regenerated from the full ledger.
+
 ## Interleaved protocol (VERDICT r3 #1)
 
 Each WINDOW: both legs start as persistent taskset-pinned cold-JVM
