@@ -1134,7 +1134,8 @@ iterations) partition by hash keys and carry no driver-side loops
 (driver-side CC below 2M edges is vectorized numpy over one bounded Arrow
 collect), so task parallelism scales with executor count; skew is handled
 by chunked pair-generation + AQE skew-join. Dup-pair recall on this same
-480k corpus and config: 0.9912 ≥ 0.99 with 0 false merges
+480k corpus and config: 0.9993 ≥ 0.99 with 0 false merges (and the
+same 0.9993 at 960k — scale-invariant since the relative-df-limit fix)
 (`scripts/recall_at_scale.py`).
 """
     notes = os.path.join(os.path.dirname(WINDOWS_PATH), "scaling_notes.md")

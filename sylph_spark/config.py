@@ -75,10 +75,27 @@ class SketchConfig:
     # otherwise create dense LSH buckets and quadratic candidate growth
     band_max_df_min: int = 32
     band_max_df_frac: float = 0.02
-    # absolute cap: a shingle in more than this many items never enters
-    # banding regardless of corpus size — bounds LSH bucket sizes (and hence
-    # candidate volume) independently of n
-    band_max_df_abs: int = 1024
+    # optional absolute cap on the informative-shingle df (None = disabled,
+    # the default). A FIXED cap does not survive corpus growth: the 960k
+    # recall audit (BENCH/scaling_notes.md) showed that with abs=1024 the
+    # informative vocabulary stops scaling with n — 0.5% of items lose
+    # EVERY combined-family shingle to masking (8-9% per modality), become
+    # unbandable, and dup-pair recall decays 0.9912@480k → 0.9815@960k
+    # (every missed exact pair had two zero-informative members). The
+    # scale-invariant limit is the RELATIVE one (band_max_df_frac·n: a df
+    # FRACTION is stationary as a stationary corpus grows); dense-bucket
+    # cost is bounded by bucket_degrade_size below instead of by starving
+    # the banding input.
+    band_max_df_abs: int | None = None
+    # buckets larger than this switch from full chunked all-pairs to banded
+    # tri-diagonal chunk pairing (each pair_chunk-sized chunk pairs with
+    # itself and its successor chunk in bucket-sorted id order): candidate
+    # volume from a bucket of size s drops from s²/2 to ~1.5·pair_chunk·s
+    # (linear in s), while every member keeps ≥ pair_chunk neighbors, so a
+    # degenerate boilerplate bucket still clusters via CC chaining. At the
+    # default (2048·2047/2 ≈ 2.1M pairs) quadratic and degraded volume
+    # cross over — below it exact pairing is cheaper anyway.
+    bucket_degrade_size: int = 2048
     # banding rare-set strategy: when the stop-shingle-filtered vocabulary
     # is at most this many entries it is broadcast into the band UDF
     # (zero-shuffle banding); larger vocabularies use the join path

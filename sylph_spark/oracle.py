@@ -63,10 +63,10 @@ def corpus_counts(sketches: list[ItemSketch]) -> dict[int, int]:
 
 
 def band_df_limit(cfg: SketchConfig, n_items: int) -> int:
-    return min(
-        max(cfg.band_max_df_min, int(cfg.band_max_df_frac * n_items)),
-        cfg.band_max_df_abs,
-    )
+    limit = max(cfg.band_max_df_min, int(cfg.band_max_df_frac * n_items))
+    if cfg.band_max_df_abs is not None:
+        limit = min(limit, cfg.band_max_df_abs)
+    return limit
 
 
 def lsh_candidates(
@@ -103,12 +103,19 @@ def lsh_candidates(
             for band, h in enumerate(bh.tolist()):
                 buckets.setdefault((band + offset, h), []).append(s.image_id)
     pairs: set[tuple[str, str]] = set()
+    chunk = cfg.pair_chunk
     for members in buckets.values():
         if len(members) < 2:
             continue
         members = sorted(set(members))
+        dense = len(members) > cfg.bucket_degrade_size
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
+                # dense buckets: banded tri-diagonal chunk pairing (the
+                # pipeline's degrade path) — pair only within one's own
+                # pair_chunk-sized chunk and the successor chunk
+                if dense and j // chunk - i // chunk > 1:
+                    continue
                 pairs.add((members[i], members[j]))
     return pairs
 

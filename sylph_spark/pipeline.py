@@ -157,11 +157,13 @@ class DedupPipeline:
         )
 
     def _band_df_limit(self, n_items: int) -> int:
+        """Relative informative-shingle df limit (see config.band_max_df_abs
+        for why a fixed absolute cap decays recall as the corpus grows)."""
         cfg = self.cfg
-        return min(
-            max(cfg.band_max_df_min, int(cfg.band_max_df_frac * n_items)),
-            cfg.band_max_df_abs,
-        )
+        limit = max(cfg.band_max_df_min, int(cfg.band_max_df_frac * n_items))
+        if cfg.band_max_df_abs is not None:
+            limit = min(limit, cfg.band_max_df_abs)
+        return limit
 
     def _stage_candidates(
         self,
@@ -234,16 +236,25 @@ class DedupPipeline:
             .agg(F.sort_array(F.collect_list("image_id")).alias("ids"))
             .filter(F.size("ids") >= 2)
             .withColumn("nc", F.ceil(F.size("ids") / chunk).cast("int"))
+            .withColumn(
+                "dense", F.size("ids") > F.lit(cfg.bucket_degrade_size)
+            )
         )
         # chunked pair generation (salted-key skew mitigation, north rule):
         # one row per (ci <= cj) chunk pair carrying only the two id slices,
-        # so a bucket of size s becomes ~ceil(s/chunk)² bounded work items
+        # so a bucket of size s becomes ~ceil(s/chunk)² bounded work items.
+        # DENSE buckets (> cfg.bucket_degrade_size members — degenerate
+        # boilerplate buckets, possible once the df limit scales with n)
+        # degrade to banded tri-diagonal pairing (cj ≤ ci+1): candidate
+        # volume drops from s²/2 to ~1.5·chunk·s, linear in s, while every
+        # member still pairs with ≥ chunk bucket neighbors so the bucket
+        # clusters via CC chaining rather than needing every pairwise edge.
         chunks = buckets.select(
             "ids",
             F.explode(
                 F.expr(
                     "flatten(transform(sequence(0, nc - 1), ci -> "
-                    "transform(sequence(ci, nc - 1), cj -> "
+                    "transform(sequence(ci, IF(dense, least(ci + 1, nc - 1), nc - 1)), cj -> "
                     "named_struct('ci', ci, 'cj', cj))))"
                 )
             ).alias("cc"),

@@ -234,3 +234,49 @@ def test_same_length_byte_edit_changes_fingerprint(spark, corpus):
     assert len(edited.at[0, "bytes"]) == len(images.at[0, "bytes"])
     fp2 = input_fingerprint(images_df_from_pandas(spark, edited))
     assert fp1 != fp2
+
+
+def test_dense_bucket_degrade(spark):
+    """Scale-relative df limit + dense-bucket degrade (960k recall audit):
+    buckets above cfg.bucket_degrade_size pair tri-diagonally (linear in
+    bucket size) instead of all-pairs, identically in Spark and the oracle,
+    and the degenerate bucket still resolves to ONE cluster via chaining."""
+    from sylph_spark.pipeline import run_volatile
+
+    images, _ = fixtures.generate_corpus(n_base=6, seed=7)
+    base = images.iloc[[0]]
+    clones = []
+    for i in range(12):
+        row = base.copy(deep=True)
+        row["image_id"] = [f"imgclone{i:04d}"]
+        clones.append(row)
+    import pandas as pd
+
+    corpus12 = pd.concat([images] + clones, ignore_index=True)
+
+    cfg = SketchConfig(bucket_degrade_size=4, pair_chunk=2)
+    out = run_volatile(spark, images_df_from_pandas(spark, corpus12), cfg)
+    got = {(r["id_a"], r["id_b"]) for r in out["candidates"].collect()}
+
+    sketches = oracle.sketch_corpus(corpus12, cfg)
+    counts = oracle.corpus_counts(sketches)
+    want = oracle.lsh_candidates(sketches, cfg, counts)
+    assert got == want
+
+    clone_ids = sorted(f"imgclone{i:04d}" for i in range(12))
+    # degraded: strictly fewer clone-clone pairs than the 12·11/2 quadratic
+    clone_pairs = {
+        (a, b) for a, b in got if a in clone_ids and b in clone_ids
+    }
+    assert 0 < len(clone_pairs) < 66
+    # tri-diagonal neighborhood: no pair spans more than chunk·2 positions
+    pos = {cid: i for i, cid in enumerate(clone_ids)}
+    assert all(
+        pos[b] // cfg.pair_chunk - pos[a] // cfg.pair_chunk <= 1
+        for a, b in clone_pairs
+    )
+    # the bucket still collapses to one cluster through CC chaining
+    labels = {
+        r["image_id"]: r["cluster_id"] for r in out["clusters"].collect()
+    }
+    assert len({labels[c] for c in clone_ids}) == 1
