@@ -95,6 +95,15 @@ class SketchConfig:
     # degenerate boilerplate bucket still clusters via CC chaining. At the
     # default (2048·2047/2 ≈ 2.1M pairs) quadratic and degraded volume
     # cross over — below it exact pairing is cheaper anyway.
+    #
+    # MEMORY BOUND (not just pair volume): one bucket's id list materializes
+    # as a single collect_list/sort_array row in ONE aggregation task, and
+    # with the relative df limit a bucket can in principle reach
+    # band_max_df_frac·n ids (~2M ids ≈ 30 MB at n=100M — fine; ~20M ids at
+    # n=1B — budget executor memory for it, or set band_max_df_abs to a
+    # deployment-sized cap / pre-split the band_hash key above a size
+    # threshold before the collect_list if corpora that far beyond the
+    # audited 960k are expected).
     bucket_degrade_size: int = 2048
     # banding rare-set strategy: when the stop-shingle-filtered vocabulary
     # is at most this many entries it is broadcast into the band UDF

@@ -69,14 +69,13 @@ def band_df_limit(cfg: SketchConfig, n_items: int) -> int:
     return limit
 
 
-def lsh_candidates(
+def lsh_buckets(
     sketches: list[ItemSketch], cfg: SketchConfig, counts: dict[int, int] | None = None
-) -> set[tuple[str, str]]:
-    """Banded MinHash → candidate id pairs (replaces all-pairs contain.rs:266-292).
-
-    Shingles with corpus document-frequency above the band_df limit are
-    excluded from banding (stop-shingle masking — the corpus analog of
-    sylph's repeat masking sketch.rs:590-600); scoring still uses full sets.
+) -> dict[tuple[int, int], list[str]]:
+    """(band, band_hash) → member image_ids — the bucket table behind
+    lsh_candidates, exposed so tests can reason about bucket MEMBERSHIP
+    (e.g. the dense-degrade tri-diagonal property is defined over a
+    bucket's own sorted members, not over any externally guessed subset).
     """
     limit = band_df_limit(cfg, len(sketches)) if counts is not None else None
     fb, fr = cfg.family_bands, cfg.family_rows
@@ -102,6 +101,19 @@ def lsh_candidates(
             bh = K.band_hashes(sig, nb, rpb)
             for band, h in enumerate(bh.tolist()):
                 buckets.setdefault((band + offset, h), []).append(s.image_id)
+    return buckets
+
+
+def lsh_candidates(
+    sketches: list[ItemSketch], cfg: SketchConfig, counts: dict[int, int] | None = None
+) -> set[tuple[str, str]]:
+    """Banded MinHash → candidate id pairs (replaces all-pairs contain.rs:266-292).
+
+    Shingles with corpus document-frequency above the band_df limit are
+    excluded from banding (stop-shingle masking — the corpus analog of
+    sylph's repeat masking sketch.rs:590-600); scoring still uses full sets.
+    """
+    buckets = lsh_buckets(sketches, cfg, counts)
     pairs: set[tuple[str, str]] = set()
     chunk = cfg.pair_chunk
     for members in buckets.values():

@@ -269,14 +269,84 @@ def test_dense_bucket_degrade(spark):
         (a, b) for a, b in got if a in clone_ids and b in clone_ids
     }
     assert 0 < len(clone_pairs) < 66
-    # tri-diagonal neighborhood: no pair spans more than chunk·2 positions
-    pos = {cid: i for i, cid in enumerate(clone_ids)}
-    assert all(
-        pos[b] // cfg.pair_chunk - pos[a] // cfg.pair_chunk <= 1
-        for a, b in clone_pairs
-    )
+    # tri-diagonal neighborhood, judged over ACTUAL bucket membership (the
+    # clones share their buckets with every identical-content fixture row —
+    # base + exact dup — so positions must come from the bucket's own sorted
+    # members, not from the clone list alone): every emitted pair must be
+    # allowed by at least one bucket containing both ids — a small bucket
+    # (full pairing) or a dense one with the ids ≤ 1 chunk apart.
+    buckets = [
+        sorted(set(m)) for m in oracle.lsh_buckets(sketches, cfg, counts).values()
+    ]
+    assert any(len(m) > cfg.bucket_degrade_size for m in buckets)
+
+    def allowed(a: str, b: str) -> bool:
+        for members in buckets:
+            if a not in members or b not in members:
+                continue
+            if len(members) <= cfg.bucket_degrade_size:
+                return True
+            ia, ib = members.index(a), members.index(b)
+            if abs(ib // cfg.pair_chunk - ia // cfg.pair_chunk) <= 1:
+                return True
+        return False
+
+    assert all(allowed(a, b) for a, b in got)
     # the bucket still collapses to one cluster through CC chaining
     labels = {
         r["image_id"]: r["cluster_id"] for r in out["clusters"].collect()
     }
     assert len({labels[c] for c in clone_ids}) == 1
+
+
+def test_dense_bucket_interleaved_families(spark):
+    """Pin the dense-degrade CHAINING assumption on a heterogeneous bucket
+    (ADVICE r4): two clone families share one caption, so the caption-family
+    LSH bucket interleaves them in sorted-id order and degrades tri-diagonal.
+    Cross-family neighbors fail the score gate (caption-only overlap ≪ tau),
+    so each family must chain through its OWN members — via the intra-family
+    image/combined buckets and the surviving same-family caption-bucket
+    edges — and resolve to exactly two clusters, not fragments."""
+    import pandas as pd
+
+    from sylph_spark.pipeline import run_volatile
+
+    base, _ = fixtures.generate_corpus(n_base=8, seed=13)
+    # two rows with distinct image content (exact dups share phash+caption)
+    row_a = base.iloc[[0]]
+    row_b_idx = next(
+        i
+        for i in range(1, len(base))
+        if base.at[i, "phash"] != base.at[0, "phash"]
+        and base.at[i, "caption"] != base.at[0, "caption"]
+    )
+    row_b = base.iloc[[row_b_idx]]
+    shared_caption = "a red cat sits near the blue tree"
+    rows = []
+    for i in range(16):
+        src = row_a if i % 2 == 0 else row_b
+        r = src.copy(deep=True)
+        r["image_id"] = [f"imgz{i:02d}"]
+        r["caption"] = [shared_caption]
+        rows.append(r)
+    corpus = pd.concat(rows, ignore_index=True)
+
+    cfg = SketchConfig(bucket_degrade_size=4, pair_chunk=2)
+    out = run_volatile(spark, images_df_from_pandas(spark, corpus), cfg)
+    fam_a = [f"imgz{i:02d}" for i in range(0, 16, 2)]
+    fam_b = [f"imgz{i:02d}" for i in range(1, 16, 2)]
+
+    cand = {(r["id_a"], r["id_b"]) for r in out["candidates"].collect()}
+    # the shared-caption bucket really mixed the families ...
+    assert any(
+        (a in fam_a) != (b in fam_a) for a, b in cand
+    ), "no cross-family candidate — families never shared a bucket"
+    # ... and the degrade dropped at least one same-family direct edge
+    assert ("imgz00", "imgz14") not in cand
+
+    labels = {r["image_id"]: r["cluster_id"] for r in out["clusters"].collect()}
+    lab_a = {labels[i] for i in fam_a}
+    lab_b = {labels[i] for i in fam_b}
+    assert len(lab_a) == 1, f"family A fragmented: {lab_a}"
+    assert len(lab_b) == 1, f"family B fragmented: {lab_b}"
+    assert lab_a != lab_b, "families merged across the heterogeneous bucket"
