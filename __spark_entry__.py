@@ -185,16 +185,11 @@ SHARED_SQL: dict[str, str] = {
         SELECT doc_id, MD5(LOWER(text)) AS fp, n_chars
         FROM documents
     """,
-    # Language-ID heuristic (training-data op): stopword-hit scoring via
-    # the length-replace trick (portable across dialects)
-    "txt_langid": """
-        SELECT doc_id,
-               CASE WHEN (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5 >
-                         (LENGTH(text) - LENGTH(REPLACE(text, ' data ', ''))) / 6
-                    THEN 'en_ish' ELSE 'other' END AS pred_lang,
-               lang
-        FROM documents
-    """,
+    # Language-ID (training-data op): stopword-PROFILE hit-count argmax over
+    # 4 languages via the length-replace trick, ties broken by profile order,
+    # 'other' on zero hits — the SQL twin of operators.text.language_id
+    # (same profiles, same tie-break); portable across dialects.
+    "txt_langid": None,  # filled in below (generated from LANG_PROFILES)
     # E10 k-mer identity estimate (contain.rs:901-951):
     # eps = Σcnt_{>1}/(Σcnt_{>1} + #cnt_{=1} + 0.1); identity = eps^{1/k}
     "e10_kmer_identity": """
@@ -211,6 +206,49 @@ SHARED_SQL: dict[str, str] = {
         FROM hist GROUP BY grp
     """,
 }
+
+
+def _langid_sql() -> str:
+    """Generate the txt_langid SQL from the SAME profiles the DataFrame
+    operator uses (operators.text.LANG_PROFILES): per-language stopword hit
+    counts over the lowercased space-padded text, CASE-chain argmax with
+    earlier profiles winning ties, 'other' on zero hits."""
+    from sylph_spark.operators.text import LANG_PROFILES
+
+    def hits(word: str) -> str:
+        token = f" {word} "
+        return (
+            f"(LENGTH(pt) - LENGTH(REPLACE(pt, '{token}', ''))) / {len(token)}"
+        )
+
+    scores = {
+        lang: " + ".join(hits(w) for w in words)
+        for lang, words in LANG_PROFILES.items()
+    }
+    langs = list(LANG_PROFILES)
+    cases = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{o}" for o in langs if o != lang
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    score_cols = ",\n               ".join(
+        f"{expr} AS s_{lang}" for lang, expr in scores.items()
+    )
+    return f"""
+        SELECT doc_id,
+               CASE {' '.join(cases)} ELSE 'other' END AS pred_lang,
+               lang
+        FROM (
+            SELECT doc_id, lang,
+               {score_cols}
+            FROM (SELECT doc_id, lang, CONCAT(' ', LOWER(text), ' ') AS pt
+                  FROM documents) p
+        ) s
+    """
+
+
+SHARED_SQL["txt_langid"] = _langid_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -36,15 +36,44 @@ def _hits(text, word: str):
     )
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stopword-hit n-gram heuristic language ID (en-ish vs other).
-    Swap the wordlists per deployment language mix."""
-    text = F.col(text_col)
+# Stopword profiles: the highest-frequency closed-class words of each
+# language, space-delimited so they match whole tokens only. Extend per
+# deployment language mix — scoring is argmax over whatever profiles are
+# passed, earlier entries winning ties.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of", "to"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+
+def language_id(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    profiles: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Stopword-profile language ID: per-language stopword hit counts over
+    the lowercased, space-padded text (length-replace trick — pure built-in
+    expressions, whole-stage codegen), argmax with ties broken by profile
+    declaration order; 'other' when no profile scores a single hit."""
+    profiles = profiles or LANG_PROFILES
+    pt = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(_hits(pt, f" {w} ") for w in words)
+        for lang, words in profiles.items()
+    }
+    langs = list(profiles)
+    chain = None
+    for lang in langs:
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
     return df.select(
-        F.col(id_col),
-        F.when(_hits(text, " the ") > _hits(text, " data "), "en_ish")
-        .otherwise("other")
-        .alias("pred_lang"),
+        F.col(id_col), chain.otherwise("other").alias("pred_lang")
     )
 
 

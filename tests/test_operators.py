@@ -82,7 +82,26 @@ class TestTextOps:
 
     def test_langid(self, docs):
         rows = {r["doc_id"]: r["pred_lang"] for r in language_id(docs, "doc_id", "text").collect()}
-        assert rows[1] == "en_ish"
+        assert rows[1] == "en"
+
+    def test_langid_known_languages(self, spark):
+        """Stopword-profile argmax over 4 languages: planted rows in each
+        language classify correctly; stopword-free text falls to 'other'."""
+        rows = [
+            (1, "the cat is on the roof and the dog is in the garden", "en"),
+            (2, "le chat est sur le toit et la porte est ouverte dans les jardins", "fr"),
+            (3, "der hund und die katze sind nicht im garten der ist zu klein", "de"),
+            (4, "el perro y los gatos que viven en una casa es grande los dos", "es"),
+            (5, "zumba quorx flindel yarrow pindle gromek suvak", "other"),
+            # mixed-language text: majority stopword profile wins
+            (6, "the cat is here and the dog is there le chat est la", "en"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "want"])
+        got = {
+            r["doc_id"]: r["pred_lang"]
+            for r in language_id(df, "doc_id", "text").collect()
+        }
+        assert got == {i: want for i, _, want in rows}
 
     def test_tokens(self, docs):
         rows = {r["doc_id"]: r for r in token_count(docs, "doc_id", "text").collect()}
