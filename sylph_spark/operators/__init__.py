@@ -1,6 +1,7 @@
 from .dedup import (  # noqa: F401
     dedup_gated_counts,
     exact_dedup,
+    minhash_band_keys,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )

@@ -86,33 +86,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    prefix: int = 160,
+    num_bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(doc_id, band, key): per-document LSH band keys from a banded MinHash
+    signature of ``num_bands × rows_per_band`` slots. All JVM-side.
+
+    One md5 per distinct (doc, shingle) row; the slot hashes derive from
+    the digest's two leading 32-bit halves via Kirsch-Mitzenmacher double
+    hashing g_i = (h1 + i·h2) mod 2^32 — B·R independent-enough hash
+    functions at the cost of ONE digest (the r3-measured hash bottleneck).
+    Each signature slot is the min of g_i over the document's shingles;
+    band j's key concatenates slots j·R .. j·R+R−1."""
+    b, r = num_bands, rows_per_band
+    sh = _char_shingles(df, id_col, text_col, k, prefix)
+    fp = F.md5(F.col("g"))
+    h1 = F.conv(F.substring(fp, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(fp, 9, 8), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    m = F.lit(4294967296)
+    aggs = [
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % m).alias(f"s{i}")
+        for i in range(b * r)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*aggs)
+    keys = [
+        F.concat_ws(
+            "_", *[F.col(f"s{j * r + i}").cast("string") for i in range(r)]
+        ).alias(f"band{j}")
+        for j in range(b)
+    ]
+    wide = sig.select("doc_id", *keys)
+    # unpivot to tall (doc_id, band, key) — stack is a projection, no shuffle
+    stack = ", ".join(f"{j}, band{j}" for j in range(b))
+    return wide.selectExpr(
+        "doc_id", f"stack({b}, {stack}) AS (band, key)"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 8,
     prefix: int = 160,
-    num_hashes: int = 4,
+    num_bands: int = 8,
+    rows_per_band: int = 2,
 ) -> DataFrame:
-    """Candidate pairs sharing a full MinHash signature (one band of
-    ``num_hashes`` rows) over md5-string minima — the pure-SQL LSH used for
-    text tables (the image pipeline uses the u64 kernel variant). One md5
-    per shingle; each signature slot is the min over a disjoint 8-hex-char
-    substring of the digest (``num_hashes`` ≤ 4)."""
-    assert num_hashes <= 4, "one md5 digest yields 4 independent 32-bit slots"
-    sh = _char_shingles(df, id_col, text_col, k, prefix)
-    fp = F.md5(F.col("g"))
-    aggs = [
-        F.min(F.substring(fp, 1 + 8 * (i - 1), 8)).alias(f"mh{i}")
-        for i in range(1, num_hashes + 1)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    key = F.concat(*[F.col(f"mh{i}") for i in range(1, num_hashes + 1)])
-    sig = sig.select("doc_id", key.alias("band"))
-    a = sig.select(F.col("doc_id").alias("id_a"), "band")
-    b = sig.select(F.col("doc_id").alias("id_b"), "band")
+    """Candidate near-dup pairs by banded MinHash LSH with OR-semantics
+    across bands: a pair is a candidate iff its signatures agree on ALL
+    ``rows_per_band`` slots of AT LEAST ONE band — detection probability
+    1−(1−J^R)^B, the S-curve (≈0.995 at J=0.7 under the 8×2 default,
+    where the old single 4-row band caught J^4 ≈ 24%). The bucket
+    self-join is keyed (band, key), so volume stays linear in bucket
+    sizes — same scale shape as the image pipeline's candidates stage."""
+    tall = minhash_band_keys(
+        df, id_col, text_col, k, prefix, num_bands, rows_per_band
+    )
+    a = tall.select(F.col("doc_id").alias("id_a"), "band", "key")
+    b = tall.select(F.col("doc_id").alias("id_b"), "band", "key")
     return (
-        a.join(b, "band")
+        a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

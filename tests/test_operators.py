@@ -73,6 +73,50 @@ class TestDedupOps:
         assert (1, 4) in pairs  # exact dups always share the full signature
         assert (1, 3) not in pairs
 
+    def test_minhash_lsh_s_curve(self, spark):
+        """VERDICT r4 #2 (SURVEY §7.3 hard part #3, now for text too): the
+        banded 8×2 LSH catches planted ~0.7-Jaccard pairs with OR-semantics
+        (hit w.p. 1-(1-J²)⁸ ≈ 0.99) that a single 4-row band — the old
+        operator shape — structurally misses (hit w.p. J⁴ ≈ 0.24)."""
+        rng = np.random.default_rng(7)
+        alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+        rows, planted = [], []
+        for i in range(40):
+            base = "".join(rng.choice(alphabet, size=160))
+            mutant = list(base)
+            start = int(rng.integers(0, 140))
+            mutant[start : start + 20] = rng.choice(alphabet, size=20)
+            rows.append((2 * i, base))
+            rows.append((2 * i + 1, "".join(mutant)))
+            planted.append((2 * i, 2 * i + 1))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        # sanity: the planted pairs really sit in the mid-Jaccard regime the
+        # S-curve argument is about (not near-identical, not unrelated)
+        jac = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", max_df=1000, min_jaccard=0.0
+            ).collect()
+        }
+        med = float(np.median([jac[p] for p in planted if p in jac]))
+        assert 0.55 <= med <= 0.85
+        banded = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(df, "doc_id", "text").collect()
+        }
+        single = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                df, "doc_id", "text", num_bands=1, rows_per_band=4
+            ).collect()
+        }
+        hit_b = sum(p in banded for p in planted)
+        hit_s = sum(p in single for p in planted)
+        assert hit_b >= 34
+        assert hit_s <= hit_b - 10
+        # random unrelated 160-char docs must not collide in any band
+        assert not {(a, b) for (a, b) in banded if a // 2 != b // 2}
+
 
 class TestTextOps:
     def test_quality(self, docs):
