@@ -17,8 +17,24 @@ Inputs/outputs are plain DataFrames, so the same routine serves any edge set
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+DEFAULT_DRIVER_THRESHOLD = 2_000_000
+
+
+def _resolve_driver_threshold(driver_threshold: int | None) -> int:
+    """Default edge-count cutoff for the driver fast path, overridable via
+    ``SYLPH_CC_DRIVER_THRESHOLD`` (set it to 0 to force the distributed
+    propagation loop — the code path that runs at 100-TB scale — through
+    any pipeline without touching call sites; used by the end-to-end
+    distributed-vs-driver parity audits)."""
+    if driver_threshold is not None:
+        return driver_threshold
+    env = os.environ.get("SYLPH_CC_DRIVER_THRESHOLD")
+    return int(env) if env else DEFAULT_DRIVER_THRESHOLD
 
 
 def connected_components(
@@ -28,7 +44,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 50,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int | None = None,
     with_sizes: bool = False,
 ) -> DataFrame:
     """Returns (node_col, cluster_id) where cluster_id = min node id in the
@@ -60,6 +76,7 @@ def connected_components(
     # columns — no Row objects), and when the probe says "small" the same
     # table IS the edge list, so the small-graph case pays a single job
     # instead of a count followed by a collect.
+    driver_threshold = _resolve_driver_threshold(driver_threshold)
     pairs = edges.select(src_col, dst_col)
     probe = pairs.limit(driver_threshold + 1).toArrow()
     if probe.num_rows <= driver_threshold:
@@ -166,7 +183,7 @@ def pair_cluster_labels(
     node_col: str = "image_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Label every EDGE PAIR and every endpoint NODE with its connected
     component and component size, in one pass.
@@ -191,6 +208,7 @@ def pair_cluster_labels(
     import pandas as pd
 
     spark = edges.sparkSession
+    driver_threshold = _resolve_driver_threshold(driver_threshold)
     pairs = edges.select(src_col, dst_col)
     probe = pairs.limit(driver_threshold + 1).toArrow()
     if probe.num_rows > driver_threshold:

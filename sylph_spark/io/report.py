@@ -12,19 +12,66 @@ from pyspark.sql import DataFrame
 from .catalog import StageCatalog
 
 
-def write_tsv(df: DataFrame, path: str, order_by: list[str] | None = None) -> None:
-    """Ordered single-file TSV with header — the reference's mutex-batched
-    ordered writer (contain.rs:261,336-339) maps to orderBy + coalesce(1)."""
-    out = df
-    if order_by:
-        out = out.orderBy(*order_by)
-    (
-        out.coalesce(1)
-        .write.mode("overwrite")
-        .option("sep", "\t")
-        .option("header", "true")
-        .csv(path)
+def write_tsv(
+    df: DataFrame,
+    path: str,
+    order_by: list[str] | None = None,
+    single_file_max_rows: int = 1_000_000,
+) -> dict:
+    """Ordered TSV sink with header — the reference's mutex-batched ordered
+    writer (contain.rs:261,336-339).
+
+    Two modes, picked by a bounded row probe (``limit(t+1).count()`` — an
+    early-stopping CollectLimit, not a full scan):
+
+    - ``single`` (≤ ``single_file_max_rows``): orderBy + coalesce(1), one
+      globally ordered file — the reference's exact output shape.
+    - ``partitioned`` (above the threshold — the 100×-scale path, where a
+      coalesce(1) would serialize the whole result through one task):
+      ``repartitionByRange(order_by) + sortWithinPartitions`` writes many
+      part files whose RANGE ORDER follows their part index, so reading the
+      manifest's file list in order yields the globally sorted result
+      without any single-task bottleneck. Each part file carries its own
+      header row (``header_per_file`` in the manifest).
+
+    Returns the manifest (also written to ``<path>/_tsv_manifest.json``):
+    mode, ordered file list, order keys. The file listing uses the local
+    filesystem (this harness runs local-mode); an HDFS/S3 deployment would
+    list via the Hadoop FileSystem API — the part-index ordering guarantee
+    is identical."""
+    probe = df.limit(single_file_max_rows + 1).count()
+    writer_opts = {"sep": "\t", "header": "true"}
+    if probe <= single_file_max_rows:
+        mode = "single"
+        out = df.orderBy(*order_by) if order_by else df
+        out = out.coalesce(1)
+    else:
+        mode = "partitioned"
+        out = df
+        if order_by:
+            # explicit partition count: user-specified numPartitions is
+            # exempt from AQE coalescing, which would otherwise collapse a
+            # small-looking shuffle back into the single-file bottleneck
+            # this mode exists to avoid
+            n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+            out = df.repartitionByRange(n_parts, *order_by).sortWithinPartitions(
+                *order_by
+            )
+    out.write.mode("overwrite").options(**writer_opts).csv(path)
+    files = sorted(
+        f
+        for f in os.listdir(path)
+        if f.startswith("part-") and not f.endswith(".crc")
     )
+    manifest = {
+        "mode": mode,
+        "files": files,
+        "order_by": order_by or [],
+        "header_per_file": True,
+    }
+    with open(os.path.join(path, "_tsv_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
 
 
 def write_run_report(catalog: StageCatalog, path: str) -> dict:

@@ -370,3 +370,34 @@ def test_write_tsv_golden(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in back.collect())
     assert got == [("a", 1, "plain"), ("b", 2, "x\ty"), ("c", 3, 'quo"te')]
+
+
+def test_write_tsv_partitioned_golden(spark, tmp_path):
+    """S7 at scale (VERDICT r4 #8): above the row threshold the sink drops
+    coalesce(1) for range-partitioned, within-partition-sorted part files
+    plus a manifest whose file order IS the global order — no single-task
+    serialization point."""
+    import json
+    import os
+    import random
+
+    from sylph_spark.io.report import write_tsv
+
+    rows = [(f"id{i:05d}", i) for i in range(1000)]
+    random.Random(3).shuffle(rows)
+    df = spark.createDataFrame(rows, "id string, n int").repartition(8)
+    path = str(tmp_path / "tsv_part")
+    man = write_tsv(df, path, order_by=["id"], single_file_max_rows=100)
+    assert man["mode"] == "partitioned"
+    assert len(man["files"]) > 1
+    got = []
+    for fname in man["files"]:
+        lines = open(os.path.join(path, fname)).read().splitlines()
+        if not lines:
+            continue
+        assert lines[0] == "id\tn"  # every part carries the header
+        got.extend(lines[1:])
+    ids = [ln.split("\t")[0] for ln in got]
+    assert ids == sorted(f"id{i:05d}" for i in range(1000))
+    disk = json.load(open(os.path.join(path, "_tsv_manifest.json")))
+    assert disk == man

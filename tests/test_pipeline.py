@@ -350,3 +350,35 @@ def test_dense_bucket_interleaved_families(spark):
     assert len(lab_a) == 1, f"family A fragmented: {lab_a}"
     assert len(lab_b) == 1, f"family B fragmented: {lab_b}"
     assert lab_a != lab_b, "families merged across the heterogeneous bucket"
+
+
+def test_distributed_cc_pipeline_parity(spark, corpus, monkeypatch):
+    """VERDICT r4 #3: run the FULL pipeline with SYLPH_CC_DRIVER_THRESHOLD=0
+    so both connected_components (clusters stage) and pair_cluster_labels
+    (rescore competition scope) take the distributed propagation path — the
+    code that actually runs at 100-TB edge counts — and assert clusters,
+    rescored pairs and survivors identical to the driver fast path."""
+    from sylph_spark.pipeline import run_volatile
+
+    images, _ = corpus
+    df = images_df_from_pandas(spark, images)
+    cfg = SketchConfig()
+
+    def stages(out):
+        return {
+            "clusters": sorted(
+                (r["image_id"], r["cluster_id"]) for r in out["clusters"].collect()
+            ),
+            "survivors": sorted(
+                (r["image_id"], r["cluster_id"]) for r in out["survivors"].collect()
+            ),
+            "rescored": sorted(
+                (r["id_a"], r["id_b"], round(r["adj_sim"], 9), r["kmers_lost"])
+                for r in out["rescored"].collect()
+            ),
+        }
+
+    base = stages(run_volatile(spark, df, cfg))
+    monkeypatch.setenv("SYLPH_CC_DRIVER_THRESHOLD", "0")
+    dist = stages(run_volatile(spark, df, cfg))
+    assert dist == base
