@@ -45,16 +45,24 @@ def make_sketch_arrow_fn(cfg: SketchConfig):
     every grid/window/hash/select/unique step runs over ONE tensor per
     pixel-shape group (kernels.image_shingles_batch etc.) instead of ~30
     small-array numpy calls per image — bit-identical sets (parity test in
-    tests/test_kernels.py)."""
+    tests/test_kernels.py).
+
+    Only ``bytes``/``fmt`` cross into Python objects (zlib + the per-image
+    decode routing need them); ``image_id`` and ``caption`` stay Arrow end
+    to end — the id/caption columns pass through to the output batch
+    untouched, and the caption shingler reads the string column's UTF-8
+    data buffer directly (kernels.caption_shingles_flat), skipping the
+    to_pylist + per-row encode + concatenate of the heaviest stage
+    (VERDICT r4 #6)."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             tbl = batch if isinstance(batch, pa.RecordBatch) else batch
-            ids = tbl.column(tbl.schema.get_field_index("image_id")).to_pylist()
+            id_arr = tbl.column(tbl.schema.get_field_index("image_id"))
+            cap_arr = tbl.column(tbl.schema.get_field_index("caption"))
             bys = tbl.column(tbl.schema.get_field_index("bytes")).to_pylist()
             fmts = tbl.column(tbl.schema.get_field_index("fmt")).to_pylist()
-            caps = tbl.column(tbl.schema.get_field_index("caption")).to_pylist()
-            n = len(ids)
+            n = len(bys)
             grays = [
                 codecs.to_gray(codecs.decode_image(bys[i], fmts[i]))
                 for i in range(n)
@@ -62,8 +70,21 @@ def make_sketch_arrow_fn(cfg: SketchConfig):
             img_pid, img_vals = K.image_shingles_batch(
                 grays, cfg.block_px, cfg.q_shift, cfg.k_block, cfg.c, cfg.n_grids
             )
-            cap_pid, cap_vals = K.caption_shingles_batch(
-                caps, cfg.k_caption, cfg.c
+            # Arrow string column = offsets + one contiguous UTF-8 buffer:
+            # exactly the (flat, lens) layout the flat shingler wants. The
+            # raw offsets buffer is unsliced — index by the array's own
+            # offset; nulls read as zero-length (the input schema forbids
+            # them anyway).
+            raw_off = np.frombuffer(cap_arr.buffers()[1], dtype=np.int32)
+            cap_off = raw_off[cap_arr.offset : cap_arr.offset + n + 1].astype(
+                np.int64
+            )
+            cap_data = np.frombuffer(cap_arr.buffers()[2], dtype=np.uint8)
+            cap_pid, cap_vals = K.caption_shingles_flat(
+                cap_data[cap_off[0] : cap_off[-1]],
+                np.diff(cap_off),
+                cfg.k_caption,
+                cfg.c,
             )
             uni_pid, uni_vals = K.union_per_segment(
                 img_pid, img_vals, cap_pid, cap_vals
@@ -80,16 +101,16 @@ def make_sketch_arrow_fn(cfg: SketchConfig):
 
             uni_arr, n_sh = list_arr(uni_pid, uni_vals)
             img_arr, _ = list_arr(img_pid, img_vals)
-            cap_arr, _ = list_arr(cap_pid, cap_vals)
+            cap_list_arr, _ = list_arr(cap_pid, cap_vals)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(ids, pa.string()),
+                    id_arr,
                     uni_arr,
                     img_arr,
-                    cap_arr,
+                    cap_list_arr,
                     pa.array(n_sh.astype(np.int32), pa.int32()),
                     pa.array(K.u64_to_i64(sims), pa.int64()),
-                    pa.array(caps, pa.string()),
+                    cap_arr,
                 ],
                 names=[
                     "image_id",

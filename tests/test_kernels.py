@@ -328,3 +328,43 @@ class TestSketchBatchParity:
             np.testing.assert_array_equal(cap_vals[cap_pid == i], cap_ref)
             np.testing.assert_array_equal(uni_vals[uni_pid == i], uni_ref)
             assert int(sims[i]) == K.simhash64(uni_ref)
+
+    def test_caption_flat_arrow_buffer_parity(self):
+        """caption_shingles_flat fed straight from an Arrow string column's
+        raw buffers (the make_sketch_arrow_fn fast path — including a
+        SLICED array, whose offsets buffer is unsliced) must be
+        bit-identical to the list-of-str batch path, unicode included."""
+        import pyarrow as pa
+
+        from sylph_spark.config import SketchConfig
+
+        cfg = SketchConfig()
+        caps = [
+            "a cat sitting on a warm red mat",
+            "",
+            "ab",
+            "wörld çafé ünïcode captions überall",
+            "the same caption text repeated here the same caption text",
+        ]
+
+        def from_arrow(arr: pa.Array):
+            n = len(arr)
+            raw_off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+            off = raw_off[arr.offset : arr.offset + n + 1].astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            return K.caption_shingles_flat(
+                data[off[0] : off[-1]], np.diff(off), cfg.k_caption, cfg.c
+            )
+
+        ref_pid, ref_vals = K.caption_shingles_batch(caps, cfg.k_caption, cfg.c)
+        arr = pa.array(caps, pa.string())
+        got_pid, got_vals = from_arrow(arr)
+        np.testing.assert_array_equal(got_pid, ref_pid)
+        np.testing.assert_array_equal(got_vals, ref_vals)
+        # sliced array: same captions minus the first → pids shift by 1
+        sref_pid, sref_vals = K.caption_shingles_batch(
+            caps[1:], cfg.k_caption, cfg.c
+        )
+        sgot_pid, sgot_vals = from_arrow(arr.slice(1, len(caps) - 1))
+        np.testing.assert_array_equal(sgot_pid, sref_pid)
+        np.testing.assert_array_equal(sgot_vals, sref_vals)
