@@ -35,8 +35,19 @@ TABLES = [
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    """Register the sf tables as temp views, ONCE per (session, sf_dir).
+
+    Every query calls this; re-reading ten parquet footers (file listing +
+    schema read, ~0.6 s of driver-side wall) per query was pure overhead
+    inside each timed window (guide §1: measure — it was the single largest
+    constant across ALL small queries). Temp views persist for the session,
+    so after the first call this is a no-op; switching sf_dir in the same
+    session re-registers."""
+    if getattr(spark, "_sylph_registered_sf", None) == sf_dir:
+        return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    spark._sylph_registered_sf = sf_dir
 
 
 # ---------------------------------------------------------------------------
@@ -1061,6 +1072,176 @@ CALLABLE_ORACLES: dict[str, str] = {
 
 
 # ---------------------------------------------------------------------------
+# Spark-side physical overrides (optimization round 6).
+#
+# oracle_sql() is FROZEN — these functions change only HOW Spark computes a
+# declared query, never WHAT it computes: each reuses the exact same SQL text
+# with the scan source swapped for an explicitly repartitioned temp view
+# (every sf table is one parquet file with one row group, so the stock plan
+# ran ALL pre-shuffle compute — shingle explodes, md5, count-distinct
+# expands, partial aggregates — in a single scan task; guide §2.5 "input
+# skew: one huge unsplittable file → repartition immediately after the
+# read"). dd_ngram_jaccard additionally materializes the filtered shingle
+# set once: the inlined-CTE plan recomputed the shingle explode+distinct
+# EIGHT times and the document-frequency aggregate FOUR times (plan audit,
+# plans/r06/dd_ngram_jaccard_before.txt). Equivalence is oracle-checked at
+# sf0.001/sf0.01 (tests/test_entry.py, scripts/check_entry.py).
+# ---------------------------------------------------------------------------
+
+
+def _repart_view(
+    spark: SparkSession, table: str, cols: list[str], key: str, name: str
+) -> None:
+    """Register `name` = table.select(cols).repartition(par, key): spreads a
+    single-row-group scan across the cluster before CPU-heavy per-row work.
+    Hash-keyed (not round-robin) so no sort-before-repartition is paid and
+    re-runs are deterministic (guide §2.5)."""
+    from pyspark.sql import functions as F
+
+    par = spark.sparkContext.defaultParallelism
+    spark.table(table).select(*cols).repartition(par, F.col(key)).createOrReplaceTempView(name)
+
+
+def _q_j1_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    _repart_view(
+        spark, "lineitem", ["l_suppkey", "l_partkey", "l_shipdate"],
+        "l_partkey", "_j1_li",
+    )
+    return spark.sql(
+        SHARED_SQL["j1_containment"].replace("FROM lineitem", "FROM _j1_li")
+    )
+
+
+def _q_j3_winner_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    _repart_view(
+        spark, "lineitem",
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        "l_partkey", "_j3_li",
+    )
+    return spark.sql(
+        SHARED_SQL["j3_winner_argmax"].replace("FROM lineitem", "FROM _j3_li")
+    )
+
+
+# e1's hist CTE is referenced twice (modal + the i*+1 join); the inlined plan
+# scanned+aggregated lineitem twice, single-task each. Build the (tiny)
+# histogram once from a repartitioned scan, materialize it, and run the
+# UNCHANGED tail SQL against it.
+_E1_HIST_SQL = """
+    SELECT l_returnflag AS grp, CAST(l_quantity AS INT) AS val, COUNT(*) AS cnt
+    FROM _e1_li GROUP BY l_returnflag, CAST(l_quantity AS INT)
+"""
+
+_E1_TAIL_SQL = """
+    WITH modal AS (
+        SELECT grp, val AS most_ind, cnt AS modal_cnt FROM (
+            SELECT grp, val, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cnt DESC, val DESC) AS rn
+            FROM _e1_hist
+        ) r WHERE rn = 1
+    )
+    SELECT m.grp AS grp,
+           ROUND(h.cnt * 1.0 / m.modal_cnt * (m.most_ind + 1), 6) AS lambda_est
+    FROM modal m JOIN _e1_hist h ON h.grp = m.grp AND h.val = m.most_ind + 1
+    WHERE h.cnt >= 3 AND m.modal_cnt >= 3
+"""
+
+
+def _q_e1_ratio_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    _repart_view(
+        spark, "lineitem", ["l_returnflag", "l_quantity"], "l_quantity",
+        "_e1_li",
+    )
+    # lazy view: hist is referenced twice by the tail, but each evaluation
+    # is a parallel two-stage aggregate over the repartitioned scan (~0.2 s);
+    # an eager localCheckpoint here measured SLOWER on the first (bench-
+    # relevant) execution than the duplicate aggregate it avoids
+    spark.sql(_E1_HIST_SQL).createOrReplaceTempView("_e1_hist")
+    return spark.sql(_E1_TAIL_SQL)
+
+
+def _q_dd_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    _repart_view(spark, "documents", ["doc_id", "text"], "doc_id", "_dd_docs")
+    return spark.sql(
+        _minhash_sql(
+            _DOCS_SHINGLE_SPARK.replace("FROM documents", "FROM _dd_docs"),
+            _hex_int_spark,
+        )
+    )
+
+
+def _q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    _repart_view(spark, "documents", ["doc_id", "text"], "doc_id", "_dd_docs")
+    return spark.sql(
+        _simhash_sql(_DOCS_SHINGLE_SPARK.replace("FROM documents", "FROM _dd_docs"))
+    )
+
+
+def _q_dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as _jaccard_sql(_DOCS_SHINGLE_SPARK) (the oracle keeps
+    that exact text on the DuckDB side), restructured for Spark: the distinct
+    (doc_id, shingle) table materializes ONCE (localCheckpoint) instead of
+    being recomputed 8× by CTE inlining, the document-frequency filter joins
+    against it, and every arithmetic expression is written with the same SQL
+    literal forms so the decimal typing (and thus the 6dp rounding) is
+    bit-identical to the original."""
+    from pyspark.sql import functions as F
+
+    _register(spark, sf_dir)
+    _repart_view(spark, "documents", ["doc_id", "text"], "doc_id", "_dd_docs")
+    shingle_sql = _DOCS_SHINGLE_SPARK.replace("FROM documents", "FROM _dd_docs")
+    sh = spark.sql(
+        f"SELECT DISTINCT doc_id, g FROM ({shingle_sql}) s0"
+    ).localCheckpoint()
+    rare = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") <= 100)
+        .select("g")
+    )
+    shr = sh.join(rare, "g").select("doc_id", "g")
+    sizes = shr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        shr.select(F.col("doc_id").alias("id_a"), "g")
+        .join(shr.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .filter(F.expr("i * 1.0 / (n_a + n_b - i) >= 0.2"))
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "CAST(ROUND(i * 1.0 / (n_a + n_b - i), 6) AS DOUBLE) AS jaccard",
+        )
+    )
+
+
+SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "j1_containment": _q_j1_containment,
+    "j3_winner_argmax": _q_j3_winner_argmax,
+    "e1_ratio_lambda": _q_e1_ratio_lambda,
+    "dd_minhash_sig": _q_dd_minhash_sig,
+    "dd_simhash": _q_dd_simhash,
+    "dd_ngram_jaccard": _q_dd_ngram_jaccard,
+}
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -1085,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _make_sql_query(sql)
     for name, (spark_sql, _duck) in DIALECT_SQL.items():
         out[name] = _make_sql_query(spark_sql)
+    # physical-plan overrides: same computed result, faster Spark execution
+    # (the oracle side of each entry is untouched — see SPARK_OVERRIDES)
+    out.update(SPARK_OVERRIDES)
     out.update(SPARK_ONLY)
     return out
 

@@ -60,6 +60,20 @@ def build_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SYLPH_SHUFFLE_PARTITIONS", "32")
     )
+    # Python workers are forked from the daemon process, so modules imported
+    # by the daemon are inherited by every worker for free (guide §4.5
+    # "heavyweight init once", applied to imports: numpy+pandas+pyarrow cost
+    # ~1.5 s per cold worker, paid once per core in the first Python stage
+    # of a fresh session without this). sylph_spark.daemon preloads them and
+    # then defers to the stock pyspark daemon loop. The repo root is put on
+    # the workers' PYTHONPATH explicitly — worker processes only inherit the
+    # driver's os.environ, not its sys.path edits.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = os.environ.get("PYTHONPATH", "")
+    if repo_root not in prev.split(":"):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (":" + prev if prev else "")
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -67,6 +81,19 @@ def build_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.python.daemon.module", "sylph_spark.daemon")
+        # collect_list/collect_set aggregations (LSH buckets, pair-shingle
+        # regrouping, winner ownership) run as ObjectHashAggregate, which
+        # silently degrades to SORT-based aggregation once a task sees more
+        # than this many distinct keys (default 128!) — the bench-scale
+        # bucket aggregate has ~200k groups, so every task paid a full
+        # sort of its band rows. Keys here are small (two longs + a short
+        # string list), so a multi-million-entry hash map is still far
+        # cheaper than the sort it replaces.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "8388608",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # generic small-row defaults; image-bytes stages override via
         # heavy_payload_batches (see HEAVY_BATCH_CONFS above)
