@@ -1103,13 +1103,30 @@ def _repart_view(
 
 
 def _q_j1_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregate replacing the double COUNT(DISTINCT): the stock
+    plan Expands every lineitem row once per distinct-aggregate before the
+    exchange. COUNT(DISTINCT l_partkey) ≡ COUNT(*) over the distinct
+    (suppkey, partkey) pairs, and COUNT(DISTINCT CASE WHEN recent THEN
+    l_partkey END) ≡ SUM(any-row-recent flag) over the same pairs
+    (l_partkey is non-null). Arithmetic keeps the original literal forms so
+    decimal typing and 6dp rounding match the frozen oracle text."""
     _register(spark, sf_dir)
     _repart_view(
         spark, "lineitem", ["l_suppkey", "l_partkey", "l_shipdate"],
         "l_partkey", "_j1_li",
     )
     return spark.sql(
-        SHARED_SQL["j1_containment"].replace("FROM lineitem", "FROM _j1_li")
+        """
+        SELECT l_suppkey AS suppkey,
+               COUNT(*) AS total_parts,
+               SUM(m) AS contained,
+               ROUND(POWER(SUM(m) * 1.0 / COUNT(*), 1.0 / 7.0), 6) AS naive_ani
+        FROM (
+            SELECT l_suppkey, l_partkey,
+                   MAX(CASE WHEN l_shipdate >= DATE '1995-01-01' THEN 1 ELSE 0 END) AS m
+            FROM _j1_li GROUP BY l_suppkey, l_partkey
+        ) pairs GROUP BY l_suppkey
+        """
     )
 
 
@@ -1184,10 +1201,10 @@ def _q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as _jaccard_sql(_DOCS_SHINGLE_SPARK) (the oracle keeps
-    that exact text on the DuckDB side), restructured for Spark: the distinct
-    (doc_id, shingle) table materializes ONCE (localCheckpoint) instead of
-    being recomputed 8× by CTE inlining, the document-frequency filter joins
-    against it, and every arithmetic expression is written with the same SQL
+    that exact text on the DuckDB side), restructured for Spark around ONE
+    shingle-keyed exchange instead of the inlined-CTE plan that recomputed
+    the shingle explode+distinct 8× and the df-aggregate 4× and then
+    self-joined by shingle. Every arithmetic expression keeps the same SQL
     literal forms so the decimal typing (and thus the 6dp rounding) is
     bit-identical to the original."""
     from pyspark.sql import functions as F
@@ -1195,21 +1212,35 @@ def _q_dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     _repart_view(spark, "documents", ["doc_id", "text"], "doc_id", "_dd_docs")
     shingle_sql = _DOCS_SHINGLE_SPARK.replace("FROM documents", "FROM _dd_docs")
-    sh = spark.sql(
-        f"SELECT DISTINCT doc_id, g FROM ({shingle_sql}) s0"
-    ).localCheckpoint()
-    rare = (
-        sh.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
-        .filter(F.col("dfreq") <= 100)
-        .select("g")
+    # ONE exchange keyed by shingle replaces the original's distinct +
+    # df-aggregate + join + g-keyed self-join: collect_set(doc_id) per g IS
+    # the distinct posting list, its size IS the document frequency, and the
+    # ordered i<j pairs within the (≤100-element, ascending-sorted) list ARE
+    # the self-join's output — generated in-task from the array, no join.
+    # doc_id is numeric, so sort_array ascending ⇔ the original a < b.
+    posting = (
+        spark.sql(shingle_sql)
+        .groupBy("g")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter(F.size("docs") <= 100)
+        .select(F.sort_array("docs").alias("docs"))
     )
-    shr = sh.join(rare, "g").select("doc_id", "g")
-    sizes = shr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     inter = (
-        shr.select(F.col("doc_id").alias("id_a"), "g")
-        .join(shr.select(F.col("doc_id").alias("id_b"), "g"), "g")
-        .filter(F.col("id_a") < F.col("id_b"))
+        posting.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs)), "
+                    "y -> named_struct('id_a', x, 'id_b', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )

@@ -230,11 +230,24 @@ class DedupPipeline:
         # row_number/count-over pair forced a full sort-shuffle of the band
         # rows and recomputed it for both join sides). sort_array makes the
         # bucket order deterministic regardless of task scheduling.
+        #
+        # Then collapse buckets with IDENTICAL member lists before any pair
+        # generation: near-identical items collide in MANY of the bands (an
+        # exact-dup pair collides in all of them), so the same id list shows
+        # up once per colliding (band, hash) key and would generate the same
+        # pairs each time, all discarded by the final distinct. Measured at
+        # bench scale: 196k buckets → 11k distinct member lists (and raw
+        # pair volume 255k → 15k) for one extra exchange of the (small)
+        # bucket rows — the pair-explode + distinct shuffle shrinks ~17×.
+        # The generated pair SET is unchanged: identical ids ⇒ identical
+        # chunked pairs, and union-of-buckets feeds a distinct anyway.
         chunk = cfg.pair_chunk
         buckets = (
             bands.groupBy("band", "band_hash")
             .agg(F.sort_array(F.collect_list("image_id")).alias("ids"))
             .filter(F.size("ids") >= 2)
+            .select("ids")
+            .distinct()
             .withColumn("nc", F.ceil(F.size("ids") / chunk).cast("int"))
             .withColumn(
                 "dense", F.size("ids") > F.lit(cfg.bucket_degrade_size)
@@ -730,11 +743,33 @@ def run_volatile(
     scored = timed(
         "scored", lambda: p._stage_scored(pair_shingles).localCheckpoint()
     )
-    gated = timed(  # 2 consumers
-        "gated", lambda: p._stage_gated(scored, sketches).localCheckpoint()
-    )
-    rescored = p._stage_rescored(scored, pair_shingles, sketches, counts, n_items)
-    verified = timed(  # 2 consumers; lazy rescored materializes here
+    # gated (pandas_udf LCS gate) and rescored (winner-table join chain)
+    # depend only on scored/pair_shingles/sketches — not on each other — so
+    # their materializations run as two concurrent jobs (guide §2.6: overlap
+    # independent jobs so one barrier's straggler tail back-fills with the
+    # other's tasks). Results are unchanged: both plans are deterministic
+    # and the scheduler only interleaves their tasks. Their stage_times
+    # overlap on the wall clock (sum of stages ≥ elapsed).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        gated_f = pool.submit(
+            lambda: timed(
+                "gated",
+                lambda: p._stage_gated(scored, sketches).localCheckpoint(),
+            )
+        )
+        rescored_f = pool.submit(
+            lambda: timed(
+                "rescored",
+                lambda: p._stage_rescored(
+                    scored, pair_shingles, sketches, counts, n_items
+                ).localCheckpoint(),
+            )
+        )
+        gated = gated_f.result()
+        rescored = rescored_f.result()
+    verified = timed(  # 2 consumers
         "rescored+verified",
         lambda: p._stage_verified(rescored, gated).localCheckpoint(),
     )
