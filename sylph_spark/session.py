@@ -94,6 +94,22 @@ def build_spark(
             "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
             "8388608",
         )
+        # AQE coalescing is byte-based and blind to per-row CPU: the
+        # candidate-pair distinct emits ~1.5 MB of shuffle bytes at bench
+        # scale, so the default 1 MB floor coalesced it (and everything
+        # fused downstream — the sketch-array joins, array_intersect, the
+        # pair-shingle explode+collect_list, and the checkpoint that the
+        # scoring UDF later reads) into ONE task: a measured 6-8 s serial
+        # stage inside the pipeline's heaviest barrier (event-log audit,
+        # OPTIMIZATION_r06.md). A 64 KB floor keeps such small-byte /
+        # CPU-heavy exchanges parallel; at production scale shuffles are
+        # orders of magnitude past either floor, so the knob only affects
+        # exactly this regime (guide §2.2: AQE coalescing should adapt to
+        # input size — overridable for cluster tuning).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SYLPH_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # generic small-row defaults; image-bytes stages override via
         # heavy_payload_batches (see HEAVY_BATCH_CONFS above)
