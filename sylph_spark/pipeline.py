@@ -724,12 +724,23 @@ def run_volatile(
         sketches = timed(
             "sketches", lambda: p._stage_sketches(images).localCheckpoint()
         )
-    counts = timed(  # 2 consumers
-        "shingle_counts",
-        lambda: p._stage_shingle_counts(sketches).localCheckpoint(),
-    )
-    n_items = timed("counts(2)", lambda: sketches.count())
-    n_vocab = timed("counts(2)", lambda: counts.count())  # same bucket: 2 tiny counts
+    # n_items (a 1-row count over the checkpointed sketches) is independent
+    # of the shingle_counts aggregation — overlap the two jobs (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        counts_f = pool.submit(
+            lambda: timed(
+                "shingle_counts",
+                lambda: p._stage_shingle_counts(sketches).localCheckpoint(),
+            )
+        )
+        n_items_f = pool.submit(
+            lambda: timed("counts(2)", lambda: sketches.count())
+        )
+        counts = counts_f.result()
+        n_items = n_items_f.result()
+    n_vocab = timed("counts(2)", lambda: counts.count())  # tiny count
     candidates = p._stage_candidates(sketches, counts, n_items, n_vocab)
     # pair_shingles feeds scored + rescored (both scoring passes);
     # the lazy candidates stage materializes inside this barrier
@@ -750,9 +761,7 @@ def run_volatile(
     # other's tasks). Results are unchanged: both plans are deterministic
     # and the scheduler only interleaves their tasks. Their stage_times
     # overlap on the wall clock (sum of stages ≥ elapsed).
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         gated_f = pool.submit(
             lambda: timed(
                 "gated",
@@ -768,13 +777,20 @@ def run_volatile(
             )
         )
         gated = gated_f.result()
+        # clusters depends only on gated (see module docstring) — its CC
+        # driver loop (bounded Arrow collect + numpy) overlaps the tail of
+        # the rescored materialization (guide §2.6)
+        clusters_f = pool.submit(
+            lambda: timed(
+                "clusters(cc)", lambda: p._stage_clusters(sketches, gated)
+            )
+        )
         rescored = rescored_f.result()
+        clusters = clusters_f.result()
     verified = timed(  # 2 consumers
         "rescored+verified",
         lambda: p._stage_verified(rescored, gated).localCheckpoint(),
     )
-    # the CC driver loop (bounded Arrow collect + numpy) runs at call time
-    clusters = timed("clusters(cc)", lambda: p._stage_clusters(sketches, gated))
     survivors = p._stage_survivors(clusters, verified)
     return {
         "sketches": sketches,

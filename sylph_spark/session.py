@@ -162,6 +162,36 @@ def _warm_python_path(spark: SparkSession) -> None:
         ).save()
         pu = F.pandas_udf(lambda s: s, T.LongType())
         rng.select(pu("id")).write.format("noop").mode("overwrite").save()
+        # JVM-side operator shapes the engine leans on (window, object-hash
+        # collect_set, generate/explode, md5+conv hashing, two-level agg +
+        # join) — first execution of each physical shape is JIT-cold and
+        # otherwise lands in whichever user query runs it first. All inputs
+        # are spark.range synthetics; nothing is cached.
+        rng.createOrReplaceTempView("_sylph_warm")
+        for sql in (
+            """SELECT g, COUNT(*) c FROM (
+                 SELECT id, SUBSTR(CONCAT('abcdefgh', CAST(id AS STRING)), pos, 4) g
+                 FROM _sylph_warm LATERAL VIEW EXPLODE(SEQUENCE(1, 8)) x AS pos) t
+               GROUP BY g HAVING COUNT(*) <= 100""",
+            """SELECT sort_array(collect_set(CAST(id AS STRING)))
+               FROM _sylph_warm GROUP BY id % 37""",
+            """SELECT id % 7, MIN(MOD(h1 + 1 * h2, 4294967296)),
+                      MIN(MOD(h1 + 2 * h2, 4294967296))
+               FROM (SELECT id,
+                       CAST(CONV(SUBSTR(MD5(CAST(id AS STRING)), 1, 8), 16, 10) AS BIGINT) h1,
+                       CAST(CONV(SUBSTR(MD5(CAST(id AS STRING)), 9, 8), 16, 10) AS BIGINT) h2
+                     FROM _sylph_warm) q GROUP BY id % 7""",
+            """SELECT * FROM (SELECT id,
+                 ROW_NUMBER() OVER (PARTITION BY id % 11 ORDER BY id DESC) rn
+               FROM _sylph_warm) r WHERE rn = 1""",
+            """SELECT a.k, SUM(m) FROM
+                 (SELECT id % 13 k, MAX(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) m
+                  FROM _sylph_warm GROUP BY id % 13, id % 5) a
+               JOIN (SELECT id % 13 k, COUNT(*) c FROM _sylph_warm GROUP BY id % 13) b
+                 ON a.k = b.k GROUP BY a.k""",
+        ):
+            spark.sql(sql).write.format("noop").mode("overwrite").save()
+        spark.catalog.dropTempView("_sylph_warm")
     except Exception:
         # warm-up is best-effort: a failure here must never block a session
         pass
