@@ -17,6 +17,7 @@ def write_tsv(
     path: str,
     order_by: list[str] | None = None,
     single_file_max_rows: int = 1_000_000,
+    known_rows: int | None = None,
 ) -> dict:
     """Ordered TSV sink with header — the reference's mutex-batched ordered
     writer (contain.rs:261,336-339).
@@ -38,8 +39,22 @@ def write_tsv(
     mode, ordered file list, order keys. The file listing uses the local
     filesystem (this harness runs local-mode); an HDFS/S3 deployment would
     list via the Hadoop FileSystem API — the part-index ordering guarantee
-    is identical."""
-    probe = df.limit(single_file_max_rows + 1).count()
+    is identical.
+
+    ``known_rows`` (e.g. from a stage manifest the caller already holds)
+    skips the probe entirely. Without it the input is persisted across
+    probe + write so the plan executes ONCE — previously both the probe and
+    the write recomputed it, doubling the cost of an expensive input and
+    letting a nondeterministic input diverge between the mode decision and
+    the rows written (ADVICE r5). The persist is scoped to this call and
+    released before returning — not a cross-run cache."""
+    persisted = False
+    if known_rows is not None:
+        probe = known_rows
+    else:
+        df = df.persist()
+        persisted = True
+        probe = df.limit(single_file_max_rows + 1).count()
     writer_opts = {"sep": "\t", "header": "true"}
     if probe <= single_file_max_rows:
         mode = "single"
@@ -58,6 +73,8 @@ def write_tsv(
                 *order_by
             )
     out.write.mode("overwrite").options(**writer_opts).csv(path)
+    if persisted:
+        df.unpersist()
     files = sorted(
         f
         for f in os.listdir(path)

@@ -75,7 +75,17 @@ def make_sketch_arrow_fn(cfg: SketchConfig):
             # raw offsets buffer is unsliced — index by the array's own
             # offset; nulls read as zero-length (the input schema forbids
             # them anyway).
-            raw_off = np.frombuffer(cap_arr.buffers()[1], dtype=np.int32)
+            # offsets are int32 for string, int64 for large_string (Spark
+            # delivers the latter under arrow.useLargeVarTypes) — dispatch
+            # on the actual type instead of assuming int32, which would
+            # silently misread offsets and corrupt shingles (ADVICE r5)
+            if pa.types.is_large_string(cap_arr.type):
+                off_dtype = np.int64
+            elif pa.types.is_string(cap_arr.type):
+                off_dtype = np.int32
+            else:
+                raise TypeError(f"caption column is {cap_arr.type}, expected string")
+            raw_off = np.frombuffer(cap_arr.buffers()[1], dtype=off_dtype)
             cap_off = raw_off[cap_arr.offset : cap_arr.offset + n + 1].astype(
                 np.int64
             )

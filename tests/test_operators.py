@@ -401,3 +401,32 @@ def test_write_tsv_partitioned_golden(spark, tmp_path):
     assert ids == sorted(f"id{i:05d}" for i in range(1000))
     disk = json.load(open(os.path.join(path, "_tsv_manifest.json")))
     assert disk == man
+
+
+def test_write_tsv_known_rows_skips_probe(spark, tmp_path):
+    """r6 optimization: a caller-supplied row count (e.g. from a stage
+    manifest) selects the mode without the probe pass, and without the
+    probe-scoped persist; without it the input is persisted so probe +
+    write execute the plan once (previously twice — ADVICE r5)."""
+    from sylph_spark.io.report import write_tsv
+
+    df = spark.createDataFrame(
+        [(f"id{i}", i) for i in range(10)], "id string, n int"
+    )
+    # known_rows above the threshold forces partitioned mode even though
+    # the actual input is tiny — proof the probe didn't run
+    man = write_tsv(
+        df, str(tmp_path / "t1"), order_by=["id"],
+        single_file_max_rows=5, known_rows=50,
+    )
+    assert man["mode"] == "partitioned"
+    man2 = write_tsv(
+        df, str(tmp_path / "t2"), order_by=["id"],
+        single_file_max_rows=5, known_rows=3,
+    )
+    assert man2["mode"] == "single"
+    # the probe-path persist must be released before returning
+    write_tsv(df, str(tmp_path / "t3"), order_by=["id"])
+    from pyspark import StorageLevel
+
+    assert df.storageLevel == StorageLevel.NONE
