@@ -156,7 +156,11 @@ def _warm_python_path(spark: SparkSession) -> None:
             yield from batches
 
         par = spark.sparkContext.defaultParallelism
-        rng = spark.range(0, 100 * par, 1, par)
+        # 1000 rows/core: enough iterations that the hot aggregate/explode
+        # loops reach steady-state JIT tiers (a 100-row/core warm-up left
+        # the first real heavy aggregate ~0.5 s slower); wall cost is the
+        # same — the warm-up is latency-bound, not volume-bound
+        rng = spark.range(0, 1000 * par, 1, par)
         rng.mapInArrow(_ident, "id long").write.format("noop").mode(
             "overwrite"
         ).save()
