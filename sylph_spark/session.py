@@ -196,6 +196,26 @@ def _warm_python_path(spark: SparkSession) -> None:
         ):
             spark.sql(sql).write.format("noop").mode("overwrite").save()
         spark.catalog.dropTempView("_sylph_warm")
+        # binary-column parquet scan path (vectorized reader + snappy +
+        # Arrow binary serialization): none of the SQL warm-ups touch it,
+        # so the first image scan of a session paid its JIT (~0.5 s at
+        # bench scale, measured 3/3 interleaved rounds). ~3 MB of synthetic
+        # bytes in a temp dir, removed immediately.
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sylph_warm_")
+        try:
+            spark.range(0, 32 * par, 1, par).select(
+                "id",
+                F.expr("CAST(repeat('x', 1024) AS BINARY)").alias("bytes"),
+                F.expr("repeat('c', 64)").alias("caption"),
+            ).write.mode("overwrite").parquet(d + "/warm.parquet")
+            spark.read.parquet(d + "/warm.parquet").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
     except Exception:
         # warm-up is best-effort: a failure here must never block a session
         pass
