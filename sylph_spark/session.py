@@ -110,6 +110,21 @@ def build_spark(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SYLPH_AQE_MIN_PARTITION_SIZE", "64k"),
         )
+        # Let the planner choose shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide §3.1/§9): the pipeline's
+        # pair/profile joins have small, well-partitioned build sides, and
+        # skipping the two sorts won 4-5% of pipeline wall in every
+        # interleaved round. AQE's 64 MB local-map threshold is the OOM
+        # guard — a build partition over it stays sort-merge, so the
+        # setting is safe at any scale (both env-overridable).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SYLPH_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SYLPH_SHJ_LOCAL_MAP_THRESHOLD", "64m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # generic small-row defaults; image-bytes stages override via
         # heavy_payload_batches (see HEAVY_BATCH_CONFS above)
