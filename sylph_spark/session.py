@@ -144,7 +144,11 @@ def build_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
-    _warm_python_path(spark)
+    # getOrCreate can return an ALREADY-RUNNING session (repeat build_spark
+    # calls in one process, e.g. the test suite) — warm each session once
+    if not getattr(spark, "_sylph_warmed", False):
+        _warm_python_path(spark)
+        spark._sylph_warmed = True
     return spark
 
 
