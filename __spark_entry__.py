@@ -1109,11 +1109,19 @@ def _q_j1_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (suppkey, partkey) pairs, and COUNT(DISTINCT CASE WHEN recent THEN
     l_partkey END) ≡ SUM(any-row-recent flag) over the same pairs
     (l_partkey is non-null). Arithmetic keeps the original literal forms so
-    decimal typing and 6dp rounding match the frozen oracle text."""
+    decimal typing and 6dp rounding match the frozen oracle text.
+
+    The repartition is keyed by l_suppkey: hash(l_suppkey) co-locates rows
+    for BOTH aggregation levels (suppkey is a subset of the (suppkey,
+    partkey) group key, and IS the outer key), so the single explicit
+    exchange satisfies the whole plan — the earlier l_partkey keying left a
+    second ENSURE_REQUIREMENTS exchange of the distinct-pair rows before
+    the per-supplier aggregate (plans/r06/j1_containment_{before,after}.txt:
+    2 Exchange -> 1)."""
     _register(spark, sf_dir)
     _repart_view(
         spark, "lineitem", ["l_suppkey", "l_partkey", "l_shipdate"],
-        "l_partkey", "_j1_li",
+        "l_suppkey", "_j1_li",
     )
     return spark.sql(
         """
@@ -1144,38 +1152,42 @@ def _q_j3_winner_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # e1's hist CTE is referenced twice (modal + the i*+1 join); the inlined plan
 # scanned+aggregated lineitem twice, single-task each. Build the (tiny)
-# histogram once from a repartitioned scan, materialize it, and run the
-# UNCHANGED tail SQL against it.
+# histogram ONCE from a repartitioned scan and pick the modal bin with a
+# per-group window MAX instead of a self-join: the earlier tail still
+# evaluated the hist view twice (one 600k-row repartition + aggregate per
+# branch); MAX(STRUCT(cnt, val)) OVER (PARTITION BY grp) is exactly the
+# ROW_NUMBER(ORDER BY cnt DESC, val DESC) = 1 winner (lexicographic struct
+# max), and the i*+1 row is the one WHERE val = modal.val + 1 — same rows,
+# same decimal typing (identical literal forms), one hist evaluation.
 _E1_HIST_SQL = """
     SELECT l_returnflag AS grp, CAST(l_quantity AS INT) AS val, COUNT(*) AS cnt
     FROM _e1_li GROUP BY l_returnflag, CAST(l_quantity AS INT)
 """
 
 _E1_TAIL_SQL = """
-    WITH modal AS (
-        SELECT grp, val AS most_ind, cnt AS modal_cnt FROM (
-            SELECT grp, val, cnt,
-                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cnt DESC, val DESC) AS rn
-            FROM _e1_hist
-        ) r WHERE rn = 1
-    )
-    SELECT m.grp AS grp,
-           ROUND(h.cnt * 1.0 / m.modal_cnt * (m.most_ind + 1), 6) AS lambda_est
-    FROM modal m JOIN _e1_hist h ON h.grp = m.grp AND h.val = m.most_ind + 1
-    WHERE h.cnt >= 3 AND m.modal_cnt >= 3
+    SELECT grp,
+           ROUND(cnt * 1.0 / m.cnt * (m.val + 1), 6) AS lambda_est
+    FROM (
+        SELECT grp, val, cnt,
+               MAX(STRUCT(cnt, val)) OVER (PARTITION BY grp) AS m
+        FROM _e1_hist
+    ) w
+    WHERE val = m.val + 1 AND cnt >= 3 AND m.cnt >= 3
 """
 
 
 def _q_e1_ratio_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     _register(spark, sf_dir)
-    _repart_view(
-        spark, "lineitem", ["l_returnflag", "l_quantity"], "l_quantity",
-        "_e1_li",
-    )
-    # lazy view: hist is referenced twice by the tail, but each evaluation
-    # is a parallel two-stage aggregate over the repartitioned scan (~0.2 s);
-    # an eager localCheckpoint here measured SLOWER on the first (bench-
-    # relevant) execution than the duplicate aggregate it avoids
+    # repartition keyed by the hist GROUP expressions (grp, bin): the one
+    # explicit exchange then satisfies the aggregate's clustering (complete
+    # agg, no second exchange), and 150 distinct (flag, bin) combos spread
+    # far better over the partitions than the ~50 bare quantity values
+    par = spark.sparkContext.defaultParallelism
+    spark.table("lineitem").select("l_returnflag", "l_quantity").repartition(
+        par, F.col("l_returnflag"), F.expr("CAST(l_quantity AS INT)")
+    ).createOrReplaceTempView("_e1_li")
     spark.sql(_E1_HIST_SQL).createOrReplaceTempView("_e1_hist")
     return spark.sql(_E1_TAIL_SQL)
 
@@ -1218,12 +1230,21 @@ def _q_dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordered i<j pairs within the (≤100-element, ascending-sorted) list ARE
     # the self-join's output — generated in-task from the array, no join.
     # doc_id is numeric, so sort_array ascending ⇔ the original a < b.
+    # localCheckpoint: posting feeds BOTH sizes (referenced twice by the
+    # final joins) and the pair generation — left lazy, Catalyst duplicates
+    # the whole scan→repartition→explode→md5→collect_set chain into three
+    # plan branches (plans/r06/dd_ngram_jaccard_after.txt round-start: 3
+    # parquet scans, 3 Generate+ObjectHashAggregate chains). Materializing
+    # the (small: one row per rare shingle) posting table once removes two
+    # full recomputations; blocks are freed by the session's checkpoint
+    # release or session stop — nothing persists across runs.
     posting = (
         spark.sql(shingle_sql)
         .groupBy("g")
         .agg(F.collect_set("doc_id").alias("docs"))
         .filter(F.size("docs") <= 100)
         .select(F.sort_array("docs").alias("docs"))
+        .localCheckpoint()
     )
     sizes = (
         posting.select(F.explode("docs").alias("doc_id"))
