@@ -607,9 +607,15 @@ class DedupPipeline:
         """One representative per cluster = argmax by mean verified
         similarity (the winner-table argmax, contain.rs:410-459), ties and
         singleton clusters falling back to the min image_id."""
+        # one reference to `verified` instead of a two-branch union (explode
+        # of the 2-element id array emits the identical (image_id, adj_sim)
+        # multiset) — with a single subtree reference the verified stage can
+        # stay LAZY in run_volatile (no checkpoint barrier) without its join
+        # being recomputed per branch
         contrib = verified.select(
-            F.col("id_a").alias("image_id"), "adj_sim"
-        ).unionByName(verified.select(F.col("id_b").alias("image_id"), "adj_sim"))
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("image_id"),
+            "adj_sim",
+        )
         rep_score = contrib.groupBy("image_id").agg(
             (F.sum("adj_sim") / F.count(F.lit(1))).alias("rep_score")
         )
@@ -787,9 +793,13 @@ def run_volatile(
         )
         rescored = rescored_f.result()
         clusters = clusters_f.result()
-    verified = timed(  # 2 consumers
-        "rescored+verified",
-        lambda: p._stage_verified(rescored, gated).localCheckpoint(),
+    # verified stays LAZY: its only downstream consumer (survivors'
+    # rep_score) references it once since the explode-based contrib, and
+    # both join inputs (rescored, gated) are already checkpointed — the
+    # tiny join fuses into the survivors job instead of paying its own
+    # materialization barrier
+    verified = timed(
+        "rescored+verified", lambda: p._stage_verified(rescored, gated)
     )
     survivors = p._stage_survivors(clusters, verified)
     return {
