@@ -1139,6 +1139,15 @@ def _q_j1_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_j3_winner_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax via MAX_BY instead of ROW_NUMBER: the windowed form pays a
+    full sort of the per-(partkey, suppkey) revenue table; the winner row
+    ordered by (revenue DESC, suppkey ASC) is exactly
+    MIN_BY(suppkey, STRUCT(-revenue, suppkey)) per partkey (lexicographic
+    struct min: max revenue first, smaller suppkey on ties — suppkey is
+    unique within the group, so the winner is identical). With the scan
+    repartitioned by l_partkey both aggregate levels fuse after the single
+    exchange and the Sort/Window nodes disappear
+    (plans/r06/j3_winner_argmax_after.txt). Oracle text unchanged."""
     _register(spark, sf_dir)
     _repart_view(
         spark, "lineitem",
@@ -1146,7 +1155,15 @@ def _q_j3_winner_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "_j3_li",
     )
     return spark.sql(
-        SHARED_SQL["j3_winner_argmax"].replace("FROM lineitem", "FROM _j3_li")
+        """
+        SELECT partkey,
+               MIN_BY(l_suppkey, STRUCT(-rev, l_suppkey)) AS winner_suppkey
+        FROM (
+            SELECT l_partkey AS partkey, l_suppkey,
+                   SUM(l_extendedprice * (1 - l_discount)) AS rev
+            FROM _j3_li GROUP BY l_partkey, l_suppkey
+        ) r GROUP BY partkey
+        """
     )
 
 
