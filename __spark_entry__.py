@@ -1090,16 +1090,21 @@ CALLABLE_ORACLES: dict[str, str] = {
 
 
 def _repart_view(
-    spark: SparkSession, table: str, cols: list[str], key: str, name: str
+    spark: SparkSession, table: str, cols: list[str], key, name: str
 ) -> None:
-    """Register `name` = table.select(cols).repartition(par, key): spreads a
+    """Register `name` = table.select(cols).repartition(par, keys): spreads a
     single-row-group scan across the cluster before CPU-heavy per-row work.
     Hash-keyed (not round-robin) so no sort-before-repartition is paid and
-    re-runs are deterministic (guide §2.5)."""
+    re-runs are deterministic (guide §2.5). ``key`` is one column name or a
+    list of SQL key expressions (e1 keys on its histogram's own group
+    expressions so the aggregate is complete after the one exchange)."""
     from pyspark.sql import functions as F
 
+    keys = [key] if isinstance(key, str) else key
     par = spark.sparkContext.defaultParallelism
-    spark.table(table).select(*cols).repartition(par, F.col(key)).createOrReplaceTempView(name)
+    spark.table(table).select(*cols).repartition(
+        par, *[F.expr(k) for k in keys]
+    ).createOrReplaceTempView(name)
 
 
 def _q_j1_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1139,7 +1144,7 @@ def _q_j1_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_j3_winner_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """argmax via MAX_BY instead of ROW_NUMBER: the windowed form pays a
+    """argmax via MIN_BY instead of ROW_NUMBER: the windowed form pays a
     full sort of the per-(partkey, suppkey) revenue table; the winner row
     ordered by (revenue DESC, suppkey ASC) is exactly
     MIN_BY(suppkey, STRUCT(-revenue, suppkey)) per partkey (lexicographic
@@ -1194,17 +1199,15 @@ _E1_TAIL_SQL = """
 
 
 def _q_e1_ratio_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     _register(spark, sf_dir)
     # repartition keyed by the hist GROUP expressions (grp, bin): the one
     # explicit exchange then satisfies the aggregate's clustering (complete
     # agg, no second exchange), and 150 distinct (flag, bin) combos spread
     # far better over the partitions than the ~50 bare quantity values
-    par = spark.sparkContext.defaultParallelism
-    spark.table("lineitem").select("l_returnflag", "l_quantity").repartition(
-        par, F.col("l_returnflag"), F.expr("CAST(l_quantity AS INT)")
-    ).createOrReplaceTempView("_e1_li")
+    _repart_view(
+        spark, "lineitem", ["l_returnflag", "l_quantity"],
+        ["l_returnflag", "CAST(l_quantity AS INT)"], "_e1_li",
+    )
     spark.sql(_E1_HIST_SQL).createOrReplaceTempView("_e1_hist")
     return spark.sql(_E1_TAIL_SQL)
 
@@ -1247,21 +1250,24 @@ def _q_dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordered i<j pairs within the (≤100-element, ascending-sorted) list ARE
     # the self-join's output — generated in-task from the array, no join.
     # doc_id is numeric, so sort_array ascending ⇔ the original a < b.
-    # localCheckpoint: posting feeds BOTH sizes (referenced twice by the
-    # final joins) and the pair generation — left lazy, Catalyst duplicates
-    # the whole scan→repartition→explode→md5→collect_set chain into three
-    # plan branches (plans/r06/dd_ngram_jaccard_after.txt round-start: 3
-    # parquet scans, 3 Generate+ObjectHashAggregate chains). Materializing
-    # the (small: one row per rare shingle) posting table once removes two
-    # full recomputations; blocks are freed by the session's checkpoint
-    # release or session stop — nothing persists across runs.
+    # lazy localCheckpoint: posting feeds BOTH sizes (referenced twice by
+    # the final joins) and the pair generation — as a plain plan, Catalyst
+    # duplicates the whole scan→repartition→explode→md5→collect_set chain
+    # into three branches (3 parquet scans, 3 Generate+ObjectHashAggregate
+    # chains in the pre-fix plan). The checkpoint gives all three branches
+    # ONE shared RDD, computed once and cached at first action; eager=False
+    # keeps DataFrame construction free of Spark jobs (plan dumps and
+    # build-phase timers see no execution). The cached blocks (one row per
+    # rare shingle) live until bench.py's checkpoint release after the
+    # dedup run or session stop — nothing persists across bench
+    # invocations.
     posting = (
         spark.sql(shingle_sql)
         .groupBy("g")
         .agg(F.collect_set("doc_id").alias("docs"))
         .filter(F.size("docs") <= 100)
         .select(F.sort_array("docs").alias("docs"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sizes = (
         posting.select(F.explode("docs").alias("doc_id"))

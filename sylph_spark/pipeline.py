@@ -708,7 +708,7 @@ def run_volatile(
     materialization barrier took (localCheckpoint / count / the CC driver
     loop) — the per-stage attribution behind the scaling-efficiency
     evidence (BENCH/BASELINE.md). Lazy single-consumer stages (candidates,
-    rescored, survivors) are fused by Catalyst into the next barrier and
+    verified, survivors) are fused by Catalyst into the next barrier and
     show up there."""
     import time as _t
 
@@ -797,10 +797,9 @@ def run_volatile(
     # rep_score) references it once since the explode-based contrib, and
     # both join inputs (rescored, gated) are already checkpointed — the
     # tiny join fuses into the survivors job instead of paying its own
-    # materialization barrier
-    verified = timed(
-        "rescored+verified", lambda: p._stage_verified(rescored, gated)
-    )
+    # materialization barrier (so it gets no stage_times entry: plan
+    # construction is not a barrier)
+    verified = p._stage_verified(rescored, gated)
     survivors = p._stage_survivors(clusters, verified)
     return {
         "sketches": sketches,

@@ -215,9 +215,10 @@ def _warm_python_path(spark: SparkSession) -> None:
             # ICU case mapping (CollationSupport.Lower -> ICU CaseMapImpl):
             # Spark 4 routes LOWER through ICU, whose first use pays class
             # load + case-trie init + JIT of very large methods. Measured:
-            # the first LOWER-touching query AFTER a compile-heavy query
-            # (the frozen bench order puts dd_ngram_jaccard right after
-            # j1_containment) ran 10-20 s slow with every executor thread
+            # the first LOWER-touching query to run after a compile-heavy
+            # aggregate query (in the frozen bench order that is
+            # dd_ngram_jaccard, with j1_containment's generated aggregates
+            # as the trigger) ran 10-20 s slow with every executor thread
             # parked in Lower.execBinaryICU — 13.2 s for a 5,000-call
             # projection — vs ~0.1 s once warm. Non-ASCII chars included so
             # the full (non-fast-path) mapping code compiles too.
